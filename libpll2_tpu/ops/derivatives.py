@@ -1,0 +1,119 @@
+"""Branch-length derivative machinery: sumtable + analytic (d1, d2).
+
+Reference semantics (libpll-2 src/core_derivatives.c):
+
+  * The sumtable factors out everything branch-length-independent
+    (pll_core_update_sumtable_ii, core_derivatives.c:321-471):
+        sum[t, r, j] = (sum_k clvp[k] * freq[k] * inv_evec[k, j])
+                     * (sum_k evec[j, k] * clvc[k])
+    so each Newton iteration costs only a sites×rates×states contraction.
+  * Per (rate, state), diagp carries {e^{lam k t}, lam k e^{...},
+    (lam k)^2 e^{...}} with k = rate / (1 - pinv)
+    (core_derivatives.c:757-772).
+  * site_lk[0..2] = sum_r rw_r * sum_j sum[r,j] * diagp[r,j,0..2] with +I
+    mixing on the 0th component only (core_site_likelihood_derivatives,
+    core_derivatives.c:643-694).
+  * d(-lnL)/dt  = sum_t w_t * (-L'/L)
+    d2(-lnL)/dt2 = sum_t w_t * ((L'/L)^2 - L''/L)   (:843-848).
+
+Scalers: in per-site mode the common scale factor cancels in L'/L, so the
+sumtable ignores scalers; in per-rate mode relative (capped) per-rate scalers
+must be folded into the sumtable (core_derivatives.c:418-460).
+
+Layout: sumtable [R, S, T] — site axis innermost, shardable across the mesh;
+(d1, d2) are per-site weighted sums, reduced with psum when sharded.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import PartitionConfig
+from ..constants import SCALE_RATE_MAXDIFF
+
+
+def update_sumtable(clvp,            # [R, S, T] parent CLV
+                    clvc,            # [R, S, T] child CLV
+                    scaler_p,        # [R, T] int32 or None (per-rate only)
+                    scaler_c,        # [R, T] int32 or None
+                    eigenvecs,       # [R, S, S] (gathered per category)
+                    inv_eigenvecs,   # [R, S, S]
+                    freqs,           # [R, S]
+                    cfg: PartitionConfig):
+    """Branch-invariant sufficient statistics for one edge. Returns [R, S, T].
+
+    Mirrors pll_core_update_sumtable_ii (core_derivatives.c:321-471).
+    """
+    dtype = clvp.dtype
+    lefterm = jnp.einsum("rkt,rk,rkj->rjt", clvp, freqs.astype(dtype),
+                         inv_eigenvecs.astype(dtype),
+                         preferred_element_type=dtype)
+    righterm = jnp.einsum("rjk,rkt->rjt", eigenvecs.astype(dtype), clvc,
+                          preferred_element_type=dtype)
+    sum_rjt = lefterm * righterm
+
+    if cfg.per_rate_scalers:
+        total = scaler_p + scaler_c                      # [R, T]
+        min_scaler = jnp.min(total, axis=0)              # [T]
+        rel = jnp.minimum(total - min_scaler[None, :], SCALE_RATE_MAXDIFF)
+        undo = jnp.power(jnp.asarray(cfg.scale_threshold, dtype),
+                         rel.astype(dtype))              # [R, T]
+        sum_rjt = sum_rjt * undo[:, None, :]
+
+    return sum_rjt
+
+
+def likelihood_derivatives(sumtable,         # [R, S, T]
+                           branch_length,    # scalar
+                           rates,            # [R]
+                           eigenvals,        # [R, S] (gathered per category)
+                           prop_invar,       # [R]
+                           rate_weights,     # [R]
+                           freqs,            # [R, S]
+                           invariant,        # [T] int32, -1 = variant
+                           pattern_weights,  # [T] (0 on padding)
+                           cfg: PartitionConfig):
+    """(d1, d2) of -lnL wrt branch length, given the edge's sumtable.
+
+    Mirrors pll_core_likelihood_derivatives (core_derivatives.c:696-929),
+    without asc-bias corrections (handled by the caller for phantom sites).
+    """
+    dtype = sumtable.dtype
+    pinv = prop_invar.astype(dtype)
+    ki = rates.astype(dtype) / (1.0 - pinv)                    # [R]
+    x = eigenvals.astype(dtype) * ki[:, None]                  # [R, S]
+    e0 = jnp.exp(x * jnp.asarray(branch_length, dtype))        # [R, S]
+    e1 = x * e0
+    e2 = x * x * e0
+
+    cat0 = jnp.einsum("rjt,rj->rt", sumtable, e0,
+                      preferred_element_type=dtype)            # [R, T]
+    cat1 = jnp.einsum("rjt,rj->rt", sumtable, e1,
+                      preferred_element_type=dtype)
+    cat2 = jnp.einsum("rjt,rj->rt", sumtable, e2,
+                      preferred_element_type=dtype)
+
+    # +I mixing, 0th component only (core_derivatives.c:676-686)
+    idx = jnp.maximum(invariant, 0)
+    inv_lk = jnp.where(invariant[None, :] >= 0,
+                       freqs.astype(dtype)[:, idx], 0.0)       # [R, T]
+    has_pinv = (pinv > 0)[:, None]
+    cat0 = jnp.where(has_pinv,
+                     cat0 * (1.0 - pinv)[:, None] + inv_lk * pinv[:, None],
+                     cat0)
+    cat1 = jnp.where(has_pinv, cat1 * (1.0 - pinv)[:, None], cat1)
+    cat2 = jnp.where(has_pinv, cat2 * (1.0 - pinv)[:, None], cat2)
+
+    rw = rate_weights.astype(dtype)
+    lk0 = jnp.einsum("rt,r->t", cat0, rw)
+    lk1 = jnp.einsum("rt,r->t", cat1, rw)
+    lk2 = jnp.einsum("rt,r->t", cat2, rw)
+
+    live = pattern_weights > 0
+    safe0 = jnp.where(live, lk0, 1.0)
+    deriv1 = -lk1 / safe0
+    deriv2 = deriv1 * deriv1 - lk2 / safe0
+
+    w = pattern_weights.astype(dtype)
+    d1 = jnp.sum(jnp.where(live, w * deriv1, 0.0))
+    d2 = jnp.sum(jnp.where(live, w * deriv2, 0.0))
+    return d1, d2

@@ -1,0 +1,162 @@
+"""Root and edge log-likelihood reductions.
+
+Reference semantics: pll_core_root_loglikelihood and
+pll_core_edge_loglikelihood_ii (libpll-2 src/core_likelihood.c:25-209,
+1191-1496), including:
+
+  * +I invariant-site mixing:  L_r = (1-p) * L_var,r + p * pi[inv_state]
+    per rate category (prop_invar can differ per category via params_indices);
+  * per-site scaler correction:  logL += scaler * log(scale_threshold);
+  * per-rate scalers: per-site common minimum, relative per-rate scalers
+    capped at SCALE_RATE_MAXDIFF and un-done multiplicatively
+    (core_likelihood.c:1388-1414);
+  * the invariant term is never scaled — with active scalers the variant part
+    is un-scaled (capped) before adding the invariant part
+    (core_likelihood.c:1462-1481).
+
+All functions are pure, shaped [R = rate cats, S = states, T = padded sites],
+and reduce over sites with pattern weights (zero on padding ⇒ padding inert).
+The weighted per-site log-likelihood sum is exactly site-shardable: under a
+mesh, shard T and psum the scalar (SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import PartitionConfig
+from ..constants import SCALE_RATE_MAXDIFF
+
+
+def _per_rate_undo(scaler_p, scaler_c, cfg: PartitionConfig, dtype):
+    """Combine per-rate scalers of two nodes into (site_min, undo_factor).
+
+    Returns (site_scalings [T] int32, undo [R, T] multiplicative factor).
+    """
+    total = scaler_p + scaler_c                       # [R, T]
+    site_scalings = jnp.min(total, axis=0)            # [T]
+    rel = jnp.minimum(total - site_scalings[None, :], SCALE_RATE_MAXDIFF)
+    undo = jnp.power(jnp.asarray(cfg.scale_threshold, dtype),
+                     rel.astype(dtype))               # thresh^rel, rel=0 -> 1
+    return site_scalings, undo
+
+
+def _invariant_site_lk(freqs, invariant):
+    """pi[inv_state] per (rate, site); 0 where the site is variant.
+
+    freqs: [R, S]; invariant: [T] int32 (-1 = variant).
+    """
+    idx = jnp.maximum(invariant, 0)                   # [T]
+    vals = freqs[:, idx]                              # [R, T]
+    return jnp.where(invariant[None, :] >= 0, vals, 0.0)
+
+
+def root_loglikelihood(clv,              # [R, S, T]
+                       scaler,           # [T] int32 or [R, T] (per-rate)
+                       freqs,            # [R, S] (gathered by freqs_indices)
+                       rate_weights,     # [R]
+                       prop_invar,       # [R] (gathered by freqs_indices)
+                       invariant,        # [T] int32, -1 = variant
+                       pattern_weights,  # [T] (0 on padding)
+                       cfg: PartitionConfig,
+                       with_persite: bool = False):
+    """Weighted log-likelihood at a (virtual) root CLV.
+
+    Mirrors pll_core_root_loglikelihood (core_likelihood.c:25-209).  The
+    per-rate-scaler mode uses the same min+cap protocol as the edge kernel
+    (the reference's generic root kernel predates per-rate scaling and does
+    not support it; we implement the natural extension).
+    """
+    dtype = clv.dtype
+    term_r = jnp.einsum("rst,rs->rt", clv, freqs.astype(dtype),
+                        preferred_element_type=dtype)       # [R, T]
+
+    if cfg.per_rate_scalers:
+        zero = jnp.zeros_like(scaler)
+        site_scalings, undo = _per_rate_undo(scaler, zero, cfg, dtype)
+        term_r = term_r * undo
+    else:
+        site_scalings = scaler                               # [T]
+
+    pinv = prop_invar.astype(dtype)                          # [R]
+    any_pinv = True  # traced branch: keep single program; pinv==0 is inert
+    if any_pinv:
+        inv_lk = _invariant_site_lk(freqs.astype(dtype), invariant)  # [R, T]
+        mixed = term_r * (1.0 - pinv)[:, None] + inv_lk * pinv[:, None]
+        term_r = jnp.where((pinv > 0)[:, None], mixed, term_r)
+
+    term = jnp.einsum("rt,r->t", term_r, rate_weights.astype(dtype))  # [T]
+
+    live = pattern_weights > 0
+    safe_term = jnp.where(live, term, 1.0)
+    site_lk = jnp.log(safe_term)
+    site_lk = site_lk + site_scalings.astype(dtype) * cfg.log_scale_threshold
+    site_lk = jnp.where(live, site_lk * pattern_weights.astype(dtype), 0.0)
+
+    logl = jnp.sum(site_lk)
+    if with_persite:
+        return logl, site_lk
+    return logl
+
+
+def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
+                       scaler_p,         # [T] or [R, T] int32
+                       clvc,             # [R, S, T] child CLV
+                       scaler_c,         # [T] or [R, T] int32
+                       pmat,             # [R, S, S] P-matrix of the edge
+                       freqs,            # [R, S]
+                       rate_weights,     # [R]
+                       prop_invar,       # [R]
+                       invariant,        # [T] int32
+                       pattern_weights,  # [T]
+                       cfg: PartitionConfig,
+                       with_persite: bool = False):
+    """Log-likelihood across an edge: parent-side CLV · P(t) · child-side CLV.
+
+    Mirrors pll_core_edge_loglikelihood_ii (core_likelihood.c:1191-1496).
+    """
+    dtype = clvp.dtype
+    termb = jnp.einsum("rjk,rkt->rjt", pmat.astype(dtype), clvc,
+                       preferred_element_type=dtype)
+    terma_r = jnp.einsum("rjt,rj,rjt->rt", clvp, freqs.astype(dtype), termb,
+                         preferred_element_type=dtype)       # [R, T]
+
+    if cfg.per_rate_scalers:
+        site_scalings, undo = _per_rate_undo(scaler_p, scaler_c, cfg, dtype)
+        terma_r = terma_r * undo
+    else:
+        site_scalings = scaler_p + scaler_c                   # [T]
+
+    pinv = prop_invar.astype(dtype)
+    rw = rate_weights.astype(dtype)
+    inv_lk = _invariant_site_lk(freqs.astype(dtype), invariant)   # [R, T]
+
+    # variant part gets (1-p); invariant part accumulates separately
+    terma = jnp.einsum("rt,r->t", terma_r * (1.0 - pinv)[:, None], rw)
+    terminv = jnp.einsum("rt,r->t", inv_lk * pinv[:, None], rw)
+
+    # site log-likelihood; three cases (core_likelihood.c:1462-1481)
+    log_thresh = jnp.asarray(cfg.log_scale_threshold, dtype)
+    scal = site_scalings.astype(dtype)
+    capped = jnp.minimum(site_scalings, SCALE_RATE_MAXDIFF).astype(dtype)
+    cap_factor = jnp.exp(capped * log_thresh)      # thresh^capped
+
+    live = pattern_weights > 0
+    has_scal = site_scalings > 0
+    has_inv = terminv > 0.0
+
+    plain = jnp.where(live, terma + terminv, 1.0)
+    scaled_inv = jnp.where(live, terma * cap_factor + terminv, 1.0)
+    scaled_plain = jnp.where(live, terma, 1.0)
+
+    site_lk = jnp.where(
+        has_scal,
+        jnp.where(has_inv,
+                  jnp.log(scaled_inv),
+                  jnp.log(scaled_plain) + scal * log_thresh),
+        jnp.log(plain))
+
+    site_lk = jnp.where(live, site_lk * pattern_weights.astype(dtype), 0.0)
+    logl = jnp.sum(site_lk)
+    if with_persite:
+        return logl, site_lk
+    return logl
