@@ -16,4 +16,6 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin pins jax_platforms despite the env var; force CPU here.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
