@@ -1,0 +1,123 @@
+"""Benchmark: CLV site-update throughput of the fused engine on TPU vs. the
+reference libpll-2 AVX2 kernels on the host CPU.
+
+Prints ONE JSON line:
+  {"metric": "clv_site_updates_per_sec", "value": N,
+   "unit": "site-updates/s/chip", "vs_baseline": N / C-reference-AVX2}
+
+One site-update = one CLV operation applied to one alignment column over all
+rate categories (the unit implied by the reference's speed harness,
+test/runtest.py speed mode).  The baseline is measured, not assumed
+(BASELINE.md: no published absolute numbers exist).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+
+TIPS = int(os.environ.get("BENCH_TIPS", 256))
+SITES = int(os.environ.get("BENCH_SITES", 65536))
+RATE_CATS = 4
+REPS = int(os.environ.get("BENCH_REPS", 20))
+
+
+def measure_reference() -> float:
+    """Build + run the C AVX2 anchor; returns site-updates/sec."""
+    oracle = REPO / "oracle"
+    bench_bin = oracle / "build" / "bench_ref"
+    if not bench_bin.exists():
+        subprocess.run(["cmake", "-B", "build", "-S", ".",
+                        "-DCMAKE_BUILD_TYPE=Release"],
+                       cwd=oracle, check=True, capture_output=True)
+        subprocess.run(["cmake", "--build", "build", "-j8"],
+                       cwd=oracle, check=True, capture_output=True)
+    # smaller workload for the CPU reference; throughput is size-independent
+    # once sites are large enough to amortize
+    out = subprocess.run([str(bench_bin), str(min(TIPS, 128)), "32768",
+                          str(RATE_CATS), "5"],
+                         capture_output=True, text=True, check=True,
+                         timeout=600)
+    for line in out.stdout.splitlines():
+        if line.startswith("site_updates_per_sec"):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench_ref output unparseable: {out.stdout}")
+
+
+def measure_engine() -> tuple[float, float, int]:
+    import jax
+    import jax.numpy as jnp
+
+    from libpll2_tpu import engine
+    from libpll2_tpu import tree as T
+    from libpll2_tpu.config import PartitionConfig
+    from libpll2_tpu.models.gamma import compute_gamma_cats
+    from libpll2_tpu.tree.generate import balanced_newick, random_tipchars
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    tree = T.parse_newick_string(balanced_newick(TIPS))
+    cfg = PartitionConfig(
+        tips=TIPS, clv_buffers=tree.inner_count, states=4, sites=SITES,
+        rate_matrices=1, prob_matrices=2 * TIPS - 3, rate_cats=RATE_CATS,
+        scale_buffers=tree.inner_count, dtype=jnp.float32, site_block=128)
+    program = engine.compile_tree(tree, cfg)
+    model = engine.make_model(
+        [[1.0, 2.0, 1.0, 1.0, 2.0, 1.0]], [[0.25, 0.25, 0.25, 0.25]],
+        compute_gamma_cats(1.0, RATE_CATS), dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    raw = random_tipchars(TIPS, cfg.sites_alloc, rng)
+    tipchars = jnp.asarray(engine.pad_tipchars(raw, cfg))
+    pattern_weights = np.zeros(cfg.sites_padded, dtype=np.float32)
+    pattern_weights[:SITES] = 1.0
+    pattern_weights = jnp.asarray(pattern_weights)
+    invariant = jnp.asarray(np.full(cfg.sites_padded, -1, dtype=np.int32))
+    bl = jnp.asarray(program.default_branch_lengths, jnp.float32)
+
+    t0 = time.time()
+    logl = engine.loglikelihood(program, cfg, model, bl, tipchars,
+                                pattern_weights, invariant)
+    jax.block_until_ready(logl)
+    print(f"compile+first run: {time.time() - t0:.1f}s  logl={float(logl)}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(REPS):
+        logl = engine.loglikelihood(program, cfg, model, bl, tipchars,
+                                    pattern_weights, invariant)
+    jax.block_until_ready(logl)
+    dt = (time.time() - t0) / REPS
+
+    num_ops = TIPS - 2
+    updates_per_sec = num_ops * SITES / dt
+    return updates_per_sec, dt, num_ops
+
+
+def main() -> None:
+    ours, latency, num_ops = measure_engine()
+    try:
+        ref = measure_reference()
+    except Exception as exc:  # noqa: BLE001
+        print(f"reference bench failed: {exc}", file=sys.stderr)
+        ref = float("nan")
+    print(f"engine: {ours:.3e} site-updates/s "
+          f"(full-tree logL latency {latency * 1e3:.2f} ms, {num_ops} ops, "
+          f"{SITES} sites); reference AVX2: {ref:.3e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "clv_site_updates_per_sec",
+        "value": ours,
+        "unit": "site-updates/s/chip",
+        "vs_baseline": ours / ref if ref == ref else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

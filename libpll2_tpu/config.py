@@ -84,18 +84,20 @@ class PartitionConfig:
         """Underflow-rescue threshold; dtype-dependent.
 
         f64 matches the reference exactly (2^-256, pll.h:96-99).  f32 cannot
-        represent 2^-256, so the f32 fast path uses 2^-64 — scaler counts
-        differ from the reference but the corrected log-likelihood agrees.
+        represent 2^-256; the f32 fast path uses 2^-30 so that a *product of
+        two* rescued CLVs (root-edge logL, core_likelihood.c:1191+) stays
+        ≥ 2^-60, comfortably inside f32 normal range — scaler counts differ
+        from the reference but the corrected log-likelihood agrees.
         """
         if self.dtype == jnp.float64:
             return 2.0 ** -256
-        return 2.0 ** -64
+        return 2.0 ** -30
 
     @property
     def scale_factor(self) -> float:
         if self.dtype == jnp.float64:
             return 2.0 ** 256
-        return 2.0 ** 64
+        return 2.0 ** 30
 
     @property
     def log_scale_threshold(self) -> float:

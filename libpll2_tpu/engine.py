@@ -1,0 +1,274 @@
+"""Fused likelihood engine: tree topology compiled once, then P-matrices +
+CLV sweep + log-likelihood (+ derivatives, + Newton) run as ONE jitted XLA
+program.
+
+This is the TPU-native performance path.  The reference library executes
+pmatrix/partials/likelihood as separate host-driven calls
+(examples/unrooted/unrooted.c flow); here a topology is compiled host-side
+into a `TreeProgram` (level-batched op tensor + branch/pmatrix layout) and
+everything numeric — including the Newton branch-length iteration
+(examples/newton/newton.c:31-100) — stays on device.
+
+Sharding: all site-indexed tensors carry the site axis innermost; under a
+`jax.sharding.Mesh` the engine shards that axis (data-parallel sites,
+SURVEY.md §2.6) with the tree program, P-matrices and model replicated.  The
+logL / (d1,d2) reductions are weighted per-site sums, so XLA inserts a psum
+over the mesh — exactness is preserved.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PartitionConfig
+from .ops import derivatives as derivatives_ops
+from .ops import likelihood as likelihood_ops
+from .ops import partials as partials_ops
+from .ops import pmatrix as pmatrix_ops
+from .partition import levelize_operations
+from .tree import create_operations, traverse
+from .tree.utree import UTree
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit static arg
+class TreeProgram:
+    """Host-compiled static form of one topology (hashable by identity)."""
+    level_ops: np.ndarray          # [L, W, 8] int32
+    pmatrix_indices: np.ndarray    # [E] int32: branch i -> pmatrix slot
+    default_branch_lengths: np.ndarray  # [E] f64 (from the newick)
+    root_clv: int
+    root_scaler: int
+    root_back_clv: int
+    root_back_scaler: int
+    root_pmatrix: int
+    tip_count: int
+    inner_count: int
+
+    @property
+    def num_branches(self) -> int:
+        return len(self.pmatrix_indices)
+
+
+def compile_tree(tree: UTree, cfg: PartitionConfig) -> TreeProgram:
+    """Traverse + compile + levelize one topology."""
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    level_ops = levelize_operations(ops, cfg)
+    root = tree.vroot
+    return TreeProgram(
+        level_ops=level_ops,
+        pmatrix_indices=np.asarray(pmat_idx, dtype=np.int32),
+        default_branch_lengths=np.asarray(branches, dtype=np.float64),
+        root_clv=root.clv_index,
+        root_scaler=root.scaler_index,
+        root_back_clv=root.back.clv_index,
+        root_back_scaler=root.back.scaler_index,
+        root_pmatrix=root.pmatrix_index,
+        tip_count=tree.tip_count,
+        inner_count=tree.inner_count,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Model:
+    """Replicated model parameters (eigen factors precomputed host-side)."""
+    eigenvals: jax.Array       # [M, S]
+    eigenvecs: jax.Array       # [M, S, S]
+    inv_eigenvecs: jax.Array   # [M, S, S]
+    frequencies: jax.Array     # [M, S]
+    rates: jax.Array           # [R]
+    rate_weights: jax.Array    # [R]
+    prop_invar: jax.Array      # [M]
+    params_indices: jax.Array  # [R] int32
+
+    def tree_flatten(self):
+        return ((self.eigenvals, self.eigenvecs, self.inv_eigenvecs,
+                 self.frequencies, self.rates, self.rate_weights,
+                 self.prop_invar, self.params_indices), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def cat_freqs(self):
+        return self.frequencies[self.params_indices]
+
+    @property
+    def cat_pinv(self):
+        return self.prop_invar[self.params_indices]
+
+
+def make_model(subst_params, frequencies, rates, rate_weights=None,
+               prop_invar=None, params_indices=None, dtype=jnp.float64
+               ) -> Model:
+    """Build a Model from raw parameters: eigendecompose each rate matrix
+    host-side (models/ratematrix.py) and stack the factors.
+
+    subst_params: [M, S*(S-1)/2]; frequencies: [M, S]; rates: [R].
+    """
+    from .models import ratematrix
+    subst_params = np.atleast_2d(np.asarray(subst_params, dtype=np.float64))
+    frequencies = np.atleast_2d(np.asarray(frequencies, dtype=np.float64))
+    M, S = frequencies.shape
+    R = len(rates)
+    evals = np.zeros((M, S))
+    evecs = np.zeros((M, S, S))
+    inv_evecs = np.zeros((M, S, S))
+    for m in range(M):
+        freqs = ratematrix.normalize_frequencies(frequencies[m])
+        frequencies[m] = freqs
+        dec = ratematrix.update_eigen(subst_params[m], freqs)
+        evals[m], evecs[m], inv_evecs[m] = dec
+    if rate_weights is None:
+        rate_weights = np.full(R, 1.0 / R)
+    if prop_invar is None:
+        prop_invar = np.zeros(M)
+    if params_indices is None:
+        params_indices = np.zeros(R, dtype=np.int32)
+    return Model(
+        eigenvals=jnp.asarray(evals, dtype),
+        eigenvecs=jnp.asarray(evecs, dtype),
+        inv_eigenvecs=jnp.asarray(inv_evecs, dtype),
+        frequencies=jnp.asarray(frequencies, dtype),
+        rates=jnp.asarray(rates, dtype),
+        rate_weights=jnp.asarray(rate_weights, dtype),
+        prop_invar=jnp.asarray(prop_invar, dtype),
+        params_indices=jnp.asarray(params_indices, jnp.int32),
+    )
+
+
+def expand_tipchars(tipchars, states: int, dtype):
+    """Bit-decode packed tip state masks [tips, T] int32 into 0/1 tip CLVs
+    [tips, S, T] on device (cheap; avoids shipping dense CLVs to HBM)."""
+    shifts = jnp.arange(states, dtype=tipchars.dtype)[None, :, None]
+    bits = (tipchars[:, None, :] >> shifts) & 1
+    return bits.astype(dtype)
+
+
+def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
+           branch_lengths, tipchars, pattern_weights):
+    """P-matrices + full CLV sweep. Returns (clv, scalers, pmatrix).
+
+    tipchars: packed bitmask states [tips, T] int32 (site axis shardable).
+    """
+    dtype = cfg.dtype
+    R, S, T = cfg.rate_cats, cfg.states, tipchars.shape[-1]
+
+    pmats = pmatrix_ops.compute_pmatrices(
+        branch_lengths, model.eigenvals, model.eigenvecs,
+        model.inv_eigenvecs, model.rates, model.prop_invar,
+        model.params_indices, dtype=dtype)                    # [E, R, S, S]
+    # one slot per possible pmatrix index (= clv index space)
+    num_slots = int(program.pmatrix_indices.max()) + 1
+    pmatrix = jnp.zeros((num_slots, R, S, S), dtype)
+    pmatrix = pmatrix.at[jnp.asarray(program.pmatrix_indices)].set(pmats)
+
+    clv = jnp.zeros((cfg.num_clvs + 1, R, S, T), dtype)
+    tip_clv = expand_tipchars(tipchars, S, dtype)             # [tips, S, T]
+    clv = clv.at[:cfg.tips].set(
+        jnp.broadcast_to(tip_clv[:, None, :, :], (cfg.tips, R, S, T)))
+    if cfg.per_rate_scalers:
+        scalers = jnp.zeros((cfg.scale_buffers + 2, R, T), jnp.int32)
+    else:
+        scalers = jnp.zeros((cfg.scale_buffers + 2, T), jnp.int32)
+
+    clv, scalers = partials_ops.update_partials(
+        clv, scalers, pmatrix, jnp.asarray(program.level_ops), cfg)
+    return clv, scalers, pmatrix
+
+
+@functools.partial(jax.jit, static_argnames=("program", "cfg"))
+def loglikelihood(program: TreeProgram, cfg: PartitionConfig, model: Model,
+                  branch_lengths, tipchars, pattern_weights, invariant):
+    """Full-tree log-likelihood, one XLA program.
+
+    tipchars: [tips, T] int32 packed state bitmasks; pattern_weights: [T];
+    invariant: [T] int32.
+    """
+    clv, scalers, pmatrix = _sweep(program, cfg, model, branch_lengths,
+                                   tipchars, pattern_weights)
+    return likelihood_ops.edge_loglikelihood(
+        clv[program.root_clv],
+        scalers[program.root_scaler if program.root_scaler >= 0
+                else cfg.scaler_zero],
+        clv[program.root_back_clv],
+        scalers[program.root_back_scaler if program.root_back_scaler >= 0
+                else cfg.scaler_zero],
+        pmatrix[program.root_pmatrix],
+        model.cat_freqs, model.rate_weights, model.cat_pinv,
+        invariant, pattern_weights, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("program", "cfg", "newton_iters"))
+def optimize_root_branch(program: TreeProgram, cfg: PartitionConfig,
+                         model: Model, branch_lengths, tipchars,
+                         pattern_weights, invariant,
+                         newton_iters: int = 10):
+    """One 'training step': CLV sweep, then on-device Newton optimization of
+    the root branch length from analytic (d1, d2) (newton.c:31-100).
+
+    Returns (new_branch_lengths, logl_before).
+    """
+    clv, scalers, pmatrix = _sweep(program, cfg, model, branch_lengths,
+                                   tipchars, pattern_weights)
+    rs = (scalers[program.root_scaler] if program.root_scaler >= 0
+          else scalers[cfg.scaler_zero])
+    rbs = (scalers[program.root_back_scaler] if program.root_back_scaler >= 0
+           else scalers[cfg.scaler_zero])
+
+    logl = likelihood_ops.edge_loglikelihood(
+        clv[program.root_clv], rs, clv[program.root_back_clv], rbs,
+        pmatrix[program.root_pmatrix], model.cat_freqs, model.rate_weights,
+        model.cat_pinv, invariant, pattern_weights, cfg)
+
+    if cfg.per_rate_scalers:
+        sp, sc = rs, rbs
+    else:
+        sp = sc = jnp.zeros((cfg.rate_cats, 1), jnp.int32)
+    sumtable = derivatives_ops.update_sumtable(
+        clv[program.root_clv], clv[program.root_back_clv], sp, sc,
+        model.eigenvecs[model.params_indices],
+        model.inv_eigenvecs[model.params_indices],
+        model.cat_freqs, cfg)
+
+    # position of the root branch in the branch_lengths vector
+    root_pos = int(np.nonzero(
+        program.pmatrix_indices == program.root_pmatrix)[0][0])
+
+    def newton_step(_, t):
+        d1, d2 = derivatives_ops.likelihood_derivatives(
+            sumtable, t, model.rates,
+            model.eigenvals[model.params_indices], model.cat_pinv,
+            model.rate_weights, model.cat_freqs, invariant,
+            pattern_weights, cfg)
+        # (d1, d2) are derivatives of -lnL.  Pure Newton only where the
+        # surface is locally convex; otherwise halve/double along -d1
+        # (the safeguard RAxML-style optimizers apply around
+        # examples/newton/newton.c:66-93's bare iteration).
+        newton = t - d1 / d2
+        fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
+        t_new = jnp.where(d2 > 0, newton, fallback)
+        return jnp.clip(t_new, 1e-8, 100.0)
+
+    t_opt = jax.lax.fori_loop(0, newton_iters, newton_step,
+                              branch_lengths[root_pos])
+    new_bl = branch_lengths.at[root_pos].set(t_opt)
+    return new_bl, logl
+
+
+def pad_tipchars(tipchars: np.ndarray, cfg: PartitionConfig) -> np.ndarray:
+    """Pad encoded tip characters [tips, sites_alloc] (bitmask) to the
+    engine's [tips, T] int32 input (padding columns = gap state so padded
+    CLV entries are 1.0 and inert under scaling checks)."""
+    from .constants import gap_state
+    out = np.full((cfg.tips, cfg.sites_padded), gap_state(cfg.states),
+                  dtype=np.int32)
+    out[:, :tipchars.shape[1]] = tipchars.astype(np.int32)
+    return out

@@ -1,0 +1,53 @@
+"""Synthetic tree / alignment generators (benchmarks, tests, dry runs)."""
+from __future__ import annotations
+
+import numpy as np
+
+BASES = "ACGT"
+
+
+def random_newick(n_tips: int, rng: np.random.Generator,
+                  caterpillar: bool = False,
+                  min_bl: float = 0.01, max_bl: float = 0.5) -> str:
+    """Random binary unrooted newick over n_tips labelled t0..t{n-1}."""
+    labels = [f"t{i}" for i in range(n_tips)]
+    if caterpillar:
+        s = labels[0] + ":0.05"
+        for lab in labels[1:-2]:
+            s = f"({lab}:0.05,{s}):0.05"
+        return f"({labels[-2]}:0.05,{labels[-1]}:0.05,{s});"
+    items = [f"{lab}:{rng.uniform(min_bl, max_bl):.6f}" for lab in labels]
+    while len(items) > 3:
+        i, j = sorted(rng.choice(len(items), 2, replace=False))
+        merged = f"({items[i]},{items[j]}):{rng.uniform(min_bl, max_bl):.6f}"
+        items = [x for k, x in enumerate(items) if k not in (i, j)]
+        items.append(merged)
+    return f"({items[0]},{items[1]},{items[2]});"
+
+
+def balanced_newick(n_tips: int, bl: float = 0.1) -> str:
+    """Perfectly balanced topology (minimal level count for the engine)."""
+    def build(lo: int, hi: int) -> str:
+        if hi - lo == 1:
+            return f"t{lo}:{bl}"
+        mid = (lo + hi) // 2
+        return f"({build(lo, mid)},{build(mid, hi)}):{bl}"
+
+    third = max(1, n_tips // 3)
+    a = build(0, third)
+    b = build(third, 2 * third)
+    c = build(2 * third, n_tips)
+    return f"({a},{b},{c});"
+
+
+def random_sequences(n_tips: int, sites: int, rng: np.random.Generator
+                     ) -> list[str]:
+    return ["".join(BASES[b] for b in rng.integers(0, 4, sites))
+            for _ in range(n_tips)]
+
+
+def random_tipchars(n_tips: int, sites: int, rng: np.random.Generator
+                    ) -> np.ndarray:
+    """Encoded DNA tip states (bitmask codes 1,2,4,8) [n_tips, sites]."""
+    return (np.uint64(1) << rng.integers(0, 4, (n_tips, sites),
+                                         dtype=np.uint64))
