@@ -42,6 +42,8 @@ class PartitionConfig:
     asc_bias_flag: bool = False  # apply correction during logL computation
     dtype: Any = jnp.float64
     site_block: int = 128
+    # None = auto (Pallas sweep on TPU when supported); True/False = force
+    use_pallas: Any = None
 
     @property
     def num_clvs(self) -> int:

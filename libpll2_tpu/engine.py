@@ -30,7 +30,8 @@ from .ops import derivatives as derivatives_ops
 from .ops import likelihood as likelihood_ops
 from .ops import partials as partials_ops
 from .ops import pmatrix as pmatrix_ops
-from .partition import levelize_operations
+from .ops import partials_pallas
+from .partition import flatten_level_ops, levelize_operations
 from .tree import create_operations, traverse
 from .tree.utree import UTree
 
@@ -38,7 +39,8 @@ from .tree.utree import UTree
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit static arg
 class TreeProgram:
     """Host-compiled static form of one topology (hashable by identity)."""
-    level_ops: np.ndarray          # [L, W, 8] int32
+    level_ops: np.ndarray          # [L, W, 8] int32 (padded; XLA path)
+    flat_ops: np.ndarray           # [OPS, 8] int32 (unpadded; Pallas path)
     pmatrix_indices: np.ndarray    # [E] int32: branch i -> pmatrix slot
     default_branch_lengths: np.ndarray  # [E] f64 (from the newick)
     root_clv: int
@@ -59,9 +61,11 @@ def compile_tree(tree: UTree, cfg: PartitionConfig) -> TreeProgram:
     trav = traverse(tree.vroot)
     ops, branches, pmat_idx = create_operations(trav)
     level_ops = levelize_operations(ops, cfg)
+    flat_ops = flatten_level_ops(ops, cfg)
     root = tree.vroot
     return TreeProgram(
         level_ops=level_ops,
+        flat_ops=flat_ops,
         pmatrix_indices=np.asarray(pmat_idx, dtype=np.int32),
         default_branch_lengths=np.asarray(branches, dtype=np.float64),
         root_clv=root.clv_index,
@@ -179,9 +183,23 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
     else:
         scalers = jnp.zeros((cfg.scale_buffers + 2, T), jnp.int32)
 
-    clv, scalers = partials_ops.update_partials(
-        clv, scalers, pmatrix, jnp.asarray(program.level_ops), cfg)
+    if _use_pallas(cfg):
+        clv, scalers = partials_pallas.update_partials_flat(
+            clv, scalers, pmatrix, jnp.asarray(program.flat_ops), cfg,
+            tb=partials_pallas.pick_site_block(T))
+    else:
+        clv, scalers = partials_ops.update_partials(
+            clv, scalers, pmatrix, jnp.asarray(program.level_ops), cfg)
     return clv, scalers, pmatrix
+
+
+def _use_pallas(cfg: PartitionConfig) -> bool:
+    """Pallas sweep on TPU backends when the config supports it; the XLA
+    einsum path everywhere else (CPU parity/f64, tiny site counts)."""
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas and partials_pallas.supported(cfg)
+    return (partials_pallas.supported(cfg)
+            and jax.default_backend() not in ("cpu",))
 
 
 @functools.partial(jax.jit, static_argnames=("program", "cfg"))
