@@ -26,9 +26,11 @@ Layout: sumtable [R, S, T] — site axis innermost, shardable across the mesh;
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PartitionConfig
-from ..constants import SCALE_RATE_MAXDIFF
+from ..constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
+                         SCALE_RATE_MAXDIFF)
 
 
 def update_sumtable(clvp,            # [R, S, T] parent CLV
@@ -38,7 +40,8 @@ def update_sumtable(clvp,            # [R, S, T] parent CLV
                     eigenvecs,       # [R, S, S] (gathered per category)
                     inv_eigenvecs,   # [R, S, S]
                     freqs,           # [R, S]
-                    cfg: PartitionConfig):
+                    cfg: PartitionConfig,
+                    asc_scalers=None):  # [T] int32: per-site sp+sc sums
     """Branch-invariant sufficient statistics for one edge. Returns [R, S, T].
 
     Mirrors pll_core_update_sumtable_ii (core_derivatives.c:321-471).
@@ -50,6 +53,18 @@ def update_sumtable(clvp,            # [R, S, T] parent CLV
     righterm = jnp.einsum("rjk,rkt->rjt", eigenvecs.astype(dtype), clvc,
                           preferred_element_type=dtype)
     sum_rjt = lefterm * righterm
+
+    if (cfg.asc_bias in (AB_LEWIS, AB_FELSENSTEIN)
+            and asc_scalers is not None and not cfg.per_rate_scalers):
+        # fold thresh^scalers into the PHANTOM columns only: the asc
+        # corrections need absolute likelihoods there (core_derivatives.c:
+        # 884-892), while real-site ratios L'/L make scaling cancel.
+        phantom = (np.arange(cfg.sites_padded) >= cfg.sites) \
+            & (np.arange(cfg.sites_padded) < cfg.sites + cfg.states)
+        undo = jnp.exp(asc_scalers.astype(dtype)
+                       * jnp.asarray(cfg.log_scale_threshold, dtype))
+        sum_rjt = jnp.where(jnp.asarray(phantom)[None, None, :],
+                            sum_rjt * undo[None, None, :], sum_rjt)
 
     if cfg.per_rate_scalers:
         total = scaler_p + scaler_c                      # [R, T]
@@ -109,6 +124,13 @@ def likelihood_derivatives(sumtable,         # [R, S, T]
     lk2 = jnp.einsum("rt,r->t", cat2, rw)
 
     live = pattern_weights > 0
+    if cfg.asc_bias not in (AB_NONE, AB_STAMATAKIS):
+        # Lewis/Felsenstein: phantom sites excluded from the main sum and
+        # folded in via the closed-form corrections (core_derivatives.c:
+        # 851-924).  Stamatakis keeps them in the main sum (ef_sites =
+        # sites + states, core_derivatives.c:735-742).
+        live = jnp.logical_and(
+            live, jnp.asarray(np.arange(cfg.sites_padded) < cfg.sites))
     safe0 = jnp.where(live, lk0, 1.0)
     deriv1 = -lk1 / safe0
     deriv2 = deriv1 * deriv1 - lk2 / safe0
@@ -116,4 +138,23 @@ def likelihood_derivatives(sumtable,         # [R, S, T]
     w = pattern_weights.astype(dtype)
     d1 = jnp.sum(jnp.where(live, w * deriv1, 0.0))
     d2 = jnp.sum(jnp.where(live, w * deriv2, 0.0))
+
+    if cfg.asc_bias in (AB_LEWIS, AB_FELSENSTEIN):
+        s0, S = cfg.sites, cfg.states
+        # scalers cancel in L'/L for the main sum but NOT in the absolute
+        # phantom likelihoods: the caller folds thresh^scalers into the
+        # sumtable's phantom columns (update_sumtable asc_scalers).
+        L0 = jnp.sum(lk0[s0:s0 + S])
+        L1 = jnp.sum(lk1[s0:s0 + S])
+        L2 = jnp.sum(lk2[s0:s0 + S])
+        if cfg.asc_bias == AB_LEWIS:
+            real = jnp.asarray(np.arange(cfg.sites_padded) < cfg.sites)
+            sum_w = jnp.sum(jnp.where(real, w, 0.0))
+            d1 = d1 + sum_w * (L1 / (L0 - 1.0))
+            d2 = d2 + sum_w * (((L0 - 1.0) * L2 - L1 * L1)
+                               / ((L0 - 1.0) * (L0 - 1.0)))
+        else:
+            sum_w_inv = jnp.sum(w[s0:s0 + S])
+            d1 = d1 - sum_w_inv * (L1 / L0)
+            d2 = d2 - sum_w_inv * ((L2 * L0 - L1 * L1) / (L0 * L0))
     return d1, d2

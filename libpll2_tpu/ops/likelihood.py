@@ -22,9 +22,44 @@ mesh, shard T and psum the scalar (SURVEY.md §2.6).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PartitionConfig
-from ..constants import SCALE_RATE_MAXDIFF
+from ..constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
+                         SCALE_RATE_MAXDIFF)
+
+
+def _real_site_mask(cfg: PartitionConfig):
+    """Static bool [T]: True on real alignment columns, False on the
+    asc-bias phantom per-state columns and padding (pll.c:525-531)."""
+    return np.arange(cfg.sites_padded) < cfg.sites
+
+
+def asc_bias_correction(term, site_scalings, pattern_weights,
+                        cfg: PartitionConfig, dtype):
+    """Ascertainment-bias logL correction from the phantom per-state sites.
+
+    Mirrors compute_asc_bias_correction + root_loglikelihood_asc_bias
+    (likelihood.c:24-120): `term` is the pre-log per-site likelihood
+    (rate-weighted, no +I — incompatible), `site_scalings` the per-site
+    scaler counters.  Lewis: -sum_w*log(1-L_base); Felsenstein:
+    sum_w_inv*log(L_base); Stamatakis: weighted lnL of the phantom sites.
+    """
+    s0, S = cfg.sites, cfg.states
+    log_thresh = jnp.asarray(cfg.log_scale_threshold, dtype)
+    t_ph = term[s0:s0 + S]
+    sc_ph = site_scalings[s0:s0 + S].astype(dtype)
+    w_ph = pattern_weights[s0:s0 + S].astype(dtype)
+    if cfg.asc_bias == AB_STAMATAKIS:
+        return jnp.sum(w_ph * (jnp.log(t_ph) + sc_ph * log_thresh))
+    base = jnp.sum(t_ph * jnp.exp(sc_ph * log_thresh))
+    if cfg.asc_bias == AB_LEWIS:
+        sum_w = jnp.sum(jnp.where(jnp.asarray(_real_site_mask(cfg)),
+                                  pattern_weights, 0.0).astype(dtype))
+        return -(sum_w * jnp.log1p(-base))
+    if cfg.asc_bias == AB_FELSENSTEIN:
+        return jnp.sum(w_ph) * jnp.log(base)
+    raise ValueError(f"illegal asc bias type {cfg.asc_bias}")
 
 
 def _per_rate_undo(scaler_p, scaler_c, cfg: PartitionConfig, dtype):
@@ -87,12 +122,18 @@ def root_loglikelihood(clv,              # [R, S, T]
     term = jnp.einsum("rt,r->t", term_r, rate_weights.astype(dtype))  # [T]
 
     live = pattern_weights > 0
+    if cfg.asc_bias != AB_NONE:
+        # phantom per-state sites feed the correction, not the main sum
+        live = jnp.logical_and(live, jnp.asarray(_real_site_mask(cfg)))
     safe_term = jnp.where(live, term, 1.0)
     site_lk = jnp.log(safe_term)
     site_lk = site_lk + site_scalings.astype(dtype) * cfg.log_scale_threshold
     site_lk = jnp.where(live, site_lk * pattern_weights.astype(dtype), 0.0)
 
     logl = jnp.sum(site_lk)
+    if cfg.asc_bias != AB_NONE:
+        logl = logl + asc_bias_correction(term, site_scalings,
+                                          pattern_weights, cfg, dtype)
     if with_persite:
         return logl, site_lk
     return logl
@@ -141,6 +182,8 @@ def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
     cap_factor = jnp.exp(capped * log_thresh)      # thresh^capped
 
     live = pattern_weights > 0
+    if cfg.asc_bias != AB_NONE:
+        live = jnp.logical_and(live, jnp.asarray(_real_site_mask(cfg)))
     has_scal = site_scalings > 0
     has_inv = terminv > 0.0
 
@@ -157,6 +200,10 @@ def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
 
     site_lk = jnp.where(live, site_lk * pattern_weights.astype(dtype), 0.0)
     logl = jnp.sum(site_lk)
+    if cfg.asc_bias != AB_NONE:
+        # pinv is disallowed with asc bias, so terma+terminv == raw term
+        logl = logl + asc_bias_correction(terma + terminv, site_scalings,
+                                          pattern_weights, cfg, dtype)
     if with_persite:
         return logl, site_lk
     return logl

@@ -88,9 +88,11 @@ def _jit_edge_logl(clvp, sp, clvc, sc, pmat, freqs, rate_weights, prop_invar,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _jit_sumtable(clvp, clvc, sp, sc, eigenvecs, inv_eigenvecs, freqs, cfg):
+def _jit_sumtable(clvp, clvc, sp, sc, eigenvecs, inv_eigenvecs, freqs, cfg,
+                  asc_scalers=None):
     return derivatives_ops.update_sumtable(
-        clvp, clvc, sp, sc, eigenvecs, inv_eigenvecs, freqs, cfg)
+        clvp, clvc, sp, sc, eigenvecs, inv_eigenvecs, freqs, cfg,
+        asc_scalers=asc_scalers)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -440,11 +442,17 @@ class Partition:
             sc = self._scaler_row(child_scaler_index)
         else:
             sp = sc = jnp.zeros((self.cfg.rate_cats, 1), jnp.int32)
+        asc_scalers = None
+        if (self.cfg.asc_bias in (constants.AB_LEWIS, constants.AB_FELSENSTEIN)
+                and not self.cfg.per_rate_scalers):
+            asc_scalers = (self._scaler_row(parent_scaler_index)
+                           + self._scaler_row(child_scaler_index))
         return _jit_sumtable(
             self.clv[parent_clv_index], self.clv[child_clv_index], sp, sc,
             jnp.asarray(self.eigenvecs[pi]),
             jnp.asarray(self.inv_eigenvecs[pi]),
-            jnp.asarray(self.frequencies[pi]), cfg=self.cfg)
+            jnp.asarray(self.frequencies[pi]), cfg=self.cfg,
+            asc_scalers=asc_scalers)
 
     def compute_likelihood_derivatives(self, sumtable, branch_length: float,
                                        params_indices):
