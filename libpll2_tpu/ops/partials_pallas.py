@@ -14,17 +14,19 @@ Kernel design (one pallas_call for the WHOLE traversal):
   * The level-ordered operation list is passed FLAT (no padding) as a
     scalar-prefetch array [OPS, 8]; grid = (OPS, T // TB), site-block
     index innermost.
+  * CLVs are viewed as [N, R*S, T]: the fused rate-state axis fills whole
+    f32 sublane tiles (R*S = 16 for DNA+4 rates -> two full (8,128) tiles),
+    so child/parent DMAs move no padding.  The per-op contraction becomes
+    ONE [RS, RS] x [RS, TB] matmul against a block-diagonal expansion of
+    the rate-wise P-matrices (built by XLA outside the kernel).
   * The CLV tensor stays in HBM (memory_space=ANY) and is aliased
     input->output: each grid step manually DMAs the two child blocks
-    [R, S, TB] into VMEM, computes the parent block on the VPU, and DMAs
-    it back out to the parent row.  Double-buffered (in-flight window of
-    one grid step each way).
-  * Scalers [Z, T] ride the same pattern; the underflow test
-    (all R*S entries < threshold -> multiply by factor, increment counter,
-    counter = left + right + rescue) runs in-register.
-  * P-matrix pairs are pre-gathered host-side to [OPS, R, S, S] and fed
-    as auto-pipelined VMEM blocks (their block index only changes with
-    the op index, so Pallas re-uses them across the inner site grid).
+    [RS, TB] into VMEM, computes the parent block, and DMAs it back out
+    to the parent row.  Double-buffered (in-flight window of one grid
+    step each way).
+  * Scalers ride as [Z, 1, T] (so row slices don't cut sublane tiling);
+    the underflow test (all R*S entries < threshold -> multiply by factor,
+    increment counter, counter = left + right + rescue) runs in-register.
 
 Correctness of the flat (level-barrier-free) schedule: grid steps execute
 sequentially on the TPU core; the only reordering is the +/-1-step DMA
@@ -51,7 +53,7 @@ from ..config import PartitionConfig
 MIN_NT = 4  # minimum site blocks for the hazard-free flat schedule
 
 
-def pick_site_block(sites_padded: int, target: int = 8192) -> int:
+def pick_site_block(sites_padded: int, target: int = 4096) -> int:
     """Largest multiple-of-128 block <= target dividing sites_padded, such
     that at least MIN_NT blocks cover the site axis; 0 if impossible."""
     best = 0
@@ -69,13 +71,22 @@ def supported(cfg: PartitionConfig) -> bool:
     return pick_site_block(cfg.sites_padded) >= 128
 
 
+def block_diag_pmatrix(p):
+    """[..., R, S, S] -> [..., R*S, R*S] block-diagonal (rate-wise blocks)."""
+    R, S = p.shape[-3], p.shape[-1]
+    eye = jnp.eye(R, dtype=p.dtype)
+    # bd[..., r, i, q, j] = eye[r, q] * P[..., r, i, j]
+    full = jnp.einsum("rq,...rij->...riqj", eye, p)
+    return full.reshape(*p.shape[:-3], R * S, R * S)
+
+
 def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
-                  p1_ref, p2_ref,          # [1, R, S, S] VMEM blocks
+                  p1_ref, p2_ref,          # [1, RS, RS] VMEM blocks
                   clv_in, scal_in,         # HBM (aliased; unused as inputs)
                   clv_ref, scal_ref,       # HBM refs (aliased outputs)
                   cbuf, obuf, sibuf, sobuf,
                   in_sems, out_sems,
-                  *, nt: int, tb: int, states: int,
+                  *, nt: int, tb: int,
                   thresh: float, factor: float):
     del clv_in, scal_in
     w = pl.program_id(0)
@@ -89,10 +100,10 @@ def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
         off = (uu % nt) * tb
         return (
             pltpu.make_async_copy(
-                clv_ref.at[ops_ref[ww, 1], :, :, pl.ds(off, tb)],
+                clv_ref.at[ops_ref[ww, 1], :, pl.ds(off, tb)],
                 cbuf.at[sl, 0], in_sems.at[sl, 0]),
             pltpu.make_async_copy(
-                clv_ref.at[ops_ref[ww, 2], :, :, pl.ds(off, tb)],
+                clv_ref.at[ops_ref[ww, 2], :, pl.ds(off, tb)],
                 cbuf.at[sl, 1], in_sems.at[sl, 1]),
             pltpu.make_async_copy(
                 scal_ref.at[ops_ref[ww, 6], :, pl.ds(off, tb)],
@@ -107,7 +118,7 @@ def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
         off = (uu % nt) * tb
         return (
             pltpu.make_async_copy(
-                obuf.at[sl], clv_ref.at[ops_ref[ww, 0], :, :, pl.ds(off, tb)],
+                obuf.at[sl], clv_ref.at[ops_ref[ww, 0], :, pl.ds(off, tb)],
                 out_sems.at[sl, 0]),
             pltpu.make_async_copy(
                 sobuf.at[sl],
@@ -128,22 +139,21 @@ def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
     for c in in_copies(u, slot):
         c.wait()
 
-    p1 = p1_ref[0]                     # [R, S, S]
-    p2 = p2_ref[0]
-    c1 = cbuf[slot, 0]                 # [R, S, TB]
-    c2 = cbuf[slot, 1]
-    left = p1[:, :, 0:1] * c1[:, 0:1, :]
-    right = p2[:, :, 0:1] * c2[:, 0:1, :]
-    for j in range(1, states):
-        left += p1[:, :, j:j + 1] * c1[:, j:j + 1, :]
-        right += p2[:, :, j:j + 1] * c2[:, j:j + 1, :]
-    parent = left * right              # [R, S, TB]
+    # one MXU matmul per child: [RS, RS] @ [RS, TB]
+    left = jax.lax.dot_general(
+        p1_ref[0], cbuf[slot, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    right = jax.lax.dot_general(
+        p2_ref[0], cbuf[slot, 1], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    parent = (left * right).astype(cbuf.dtype)          # [RS, TB]
 
     # counter-based underflow rescue (per site, all rates+states below)
-    mask = jnp.all(parent < thresh, axis=(0, 1), keepdims=True)  # [1,1,TB]
+    mask = jnp.all(parent < thresh, axis=0, keepdims=True)       # [1, TB]
     parent = jnp.where(mask, parent * factor, parent)
-    snew = (sibuf[slot, 0] + sibuf[slot, 1]
-            + mask[0].astype(jnp.int32))                          # [1, TB]
+    snew = sibuf[slot, 0] + sibuf[slot, 1] + mask.astype(jnp.int32)
 
     # before overwriting this slot's out buffers, drain step u-2's writes
     @pl.when(u >= 2)
@@ -181,27 +191,30 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
     n_ops = flat_ops.shape[0]
     if n_ops == 0:
         return clv, scalers
-    R, S, T = cfg.rate_cats, cfg.states, clv.shape[-1]
+    N1, R, S, T = clv.shape
+    RS = R * S
     nt = T // tb
     assert nt >= MIN_NT and T % tb == 0, (nt, T, tb)
 
+    # fused rate-state sublane axis: full (8,128) tiles, padding-free DMAs
+    clv2 = clv.reshape(N1, RS, T)
     # scalers ride as [Z, 1, T]: row slices must not cut the sublane tiling
     scalers3 = scalers[:, None, :]
 
-    p1 = pmatrix[flat_ops[:, 3]]       # [OPS, R, S, S] — tiny gathers
-    p2 = pmatrix[flat_ops[:, 4]]
+    p1 = block_diag_pmatrix(pmatrix[flat_ops[:, 3]])   # [OPS, RS, RS]
+    p2 = block_diag_pmatrix(pmatrix[flat_ops[:, 4]])
 
     kernel = functools.partial(
-        _sweep_kernel, nt=nt, tb=tb, states=S,
+        _sweep_kernel, nt=nt, tb=tb,
         thresh=cfg.scale_threshold, factor=cfg.scale_factor)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ops, nt),
         in_specs=[
-            pl.BlockSpec((1, R, S, S), lambda w, t, ops: (w, 0, 0, 0),
+            pl.BlockSpec((1, RS, RS), lambda w, t, ops: (w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, S, S), lambda w, t, ops: (w, 0, 0, 0),
+            pl.BlockSpec((1, RS, RS), lambda w, t, ops: (w, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -211,8 +224,8 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, R, S, tb), cfg.dtype),   # child blocks
-            pltpu.VMEM((2, R, S, tb), cfg.dtype),      # parent block
+            pltpu.VMEM((2, 2, RS, tb), cfg.dtype),     # child blocks
+            pltpu.VMEM((2, RS, tb), cfg.dtype),        # parent block
             pltpu.VMEM((2, 2, 1, tb), jnp.int32),      # child scalers
             pltpu.VMEM((2, 1, tb), jnp.int32),         # parent scaler
             pltpu.SemaphoreType.DMA((2, 4)),
@@ -224,7 +237,7 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(clv2.shape, clv2.dtype),
             jax.ShapeDtypeStruct(scalers3.shape, scalers3.dtype),
         ),
         # operand order: ops(0) p1(1) p2(2) clv(3) scalers(4)
@@ -233,10 +246,10 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=n_ops * R * S * T * (4 * S + 1),
-            bytes_accessed=n_ops * R * S * T * clv.dtype.itemsize * 3,
+            flops=n_ops * T * (2 * RS * RS * 2 + RS),
+            bytes_accessed=n_ops * RS * T * clv.dtype.itemsize * 3,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(flat_ops, p1, p2, clv, scalers3)
-    return clv_out, scal_out[:, 0, :]
+    )(flat_ops, p1, p2, clv2, scalers3)
+    return clv_out.reshape(N1, R, S, T), scal_out[:, 0, :]
