@@ -80,13 +80,30 @@ def block_diag_pmatrix(p):
     return full.reshape(*p.shape[:-3], R * S, R * S)
 
 
+def diag_coefficients(p):
+    """[..., R, S, S] -> [..., 2S-1, R*S] wrapped-diagonal coefficients.
+
+    coef[..., d, k] = BD[..., k, (k + d - (S-1)) mod RS] where BD is the
+    block-diagonal expansion: the per-op matvec becomes
+        out[k] = sum_d coef[d, k] * roll(clv, -(d-(S-1)), axis=0)[k]
+    — 2S-1 VPU fused multiply-adds over full sublane tiles, no MXU.
+    Only offsets |d-(S-1)| <= S-1 can be nonzero for block-diagonal BD.
+    """
+    R, S = p.shape[-3], p.shape[-1]
+    RS = R * S
+    bd = block_diag_pmatrix(p)                      # [..., RS, RS]
+    k = np.arange(RS)
+    cols = (k[None, :] + np.arange(-(S - 1), S)[:, None]) % RS  # [2S-1, RS]
+    return bd[..., k[None, :], cols]                # [..., 2S-1, RS]
+
+
 def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
-                  p1_ref, p2_ref,          # [1, RS, RS] VMEM blocks
+                  p1_ref, p2_ref,          # [1, 2S-1, RS] diag-coef blocks
                   clv_in, scal_in,         # HBM (aliased; unused as inputs)
                   clv_ref, scal_ref,       # HBM refs (aliased outputs)
                   cbuf, obuf, sibuf, sobuf,
                   in_sems, out_sems,
-                  *, nt: int, tb: int,
+                  *, nt: int, tb: int, states: int,
                   thresh: float, factor: float):
     del clv_in, scal_in
     w = pl.program_id(0)
@@ -139,16 +156,19 @@ def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
     for c in in_copies(u, slot):
         c.wait()
 
-    # one MXU matmul per child: [RS, RS] @ [RS, TB]
-    left = jax.lax.dot_general(
-        p1_ref[0], cbuf[slot, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    right = jax.lax.dot_general(
-        p2_ref[0], cbuf[slot, 1], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    parent = (left * right).astype(cbuf.dtype)          # [RS, TB]
+    # per-child matvec as 2S-1 diagonal-roll VPU fmas (full sublane tiles)
+    c1 = cbuf[slot, 0]                                  # [RS, TB]
+    c2 = cbuf[slot, 1]
+    p1 = p1_ref[0]                                      # [2S-1, RS]
+    p2 = p2_ref[0]
+    rs = c1.shape[0]
+    left = p1[0][:, None] * pltpu.roll(c1, states - 1, 0)
+    right = p2[0][:, None] * pltpu.roll(c2, states - 1, 0)
+    for d in range(1, 2 * states - 1):
+        shift = (states - 1 - d) % rs                   # static, >= 0
+        left += p1[d][:, None] * pltpu.roll(c1, shift, 0)
+        right += p2[d][:, None] * pltpu.roll(c2, shift, 0)
+    parent = left * right                               # [RS, TB]
 
     # counter-based underflow rescue (per site, all rates+states below)
     mask = jnp.all(parent < thresh, axis=0, keepdims=True)       # [1, TB]
@@ -192,7 +212,7 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
     if n_ops == 0:
         return clv, scalers
     N1, R, S, T = clv.shape
-    RS = R * S
+    RS = R * S  # noqa: N806
     nt = T // tb
     assert nt >= MIN_NT and T % tb == 0, (nt, T, tb)
 
@@ -201,20 +221,20 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
     # scalers ride as [Z, 1, T]: row slices must not cut the sublane tiling
     scalers3 = scalers[:, None, :]
 
-    p1 = block_diag_pmatrix(pmatrix[flat_ops[:, 3]])   # [OPS, RS, RS]
-    p2 = block_diag_pmatrix(pmatrix[flat_ops[:, 4]])
+    p1 = diag_coefficients(pmatrix[flat_ops[:, 3]])    # [OPS, 2S-1, RS]
+    p2 = diag_coefficients(pmatrix[flat_ops[:, 4]])
 
     kernel = functools.partial(
-        _sweep_kernel, nt=nt, tb=tb,
+        _sweep_kernel, nt=nt, tb=tb, states=S,
         thresh=cfg.scale_threshold, factor=cfg.scale_factor)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ops, nt),
         in_specs=[
-            pl.BlockSpec((1, RS, RS), lambda w, t, ops: (w, 0, 0),
+            pl.BlockSpec((1, 2 * S - 1, RS), lambda w, t, ops: (w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RS, RS), lambda w, t, ops: (w, 0, 0),
+            pl.BlockSpec((1, 2 * S - 1, RS), lambda w, t, ops: (w, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),

@@ -1,6 +1,9 @@
 from .newick import (parse_newick, parse_newick_rooted, parse_newick_string,
                      parse_newick_string_rooted, parse_newick_string_unroot,
                      parse_newick_unroot, unroot_inplace)
+from .rtree import (RNode, RTree, export_rtree_newick, parse_rtree,
+                    parse_rtree_string, reset_rtree_template_indices,
+                    rtree_create_operations, rtree_to_utree, rtree_traverse)
 from .utree import (UNode, UTree, check_integrity, clone_graph,
                     create_operations, export_newick, reset_template_indices,
                     traverse, wrap_tree)
@@ -11,4 +14,7 @@ __all__ = [
     "parse_newick", "parse_newick_rooted", "parse_newick_unroot",
     "parse_newick_string", "parse_newick_string_rooted",
     "parse_newick_string_unroot", "unroot_inplace",
+    "RNode", "RTree", "parse_rtree", "parse_rtree_string",
+    "export_rtree_newick", "reset_rtree_template_indices",
+    "rtree_create_operations", "rtree_to_utree", "rtree_traverse",
 ]

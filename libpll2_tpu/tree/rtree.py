@@ -1,0 +1,241 @@
+"""Rooted tree objects: left/right/parent nodes, traversals, operations
+compilation, newick parse/export, and conversion to unrooted form.
+
+Mirrors the reference's pll_rnode_t / pll_rtree_t semantics
+(libpll-2 src/pll.h:413-438, src/rtree.c, src/parse_rtree.y):
+
+  * template indices (parse_rtree.y:164-227): tips get node_index =
+    clv_index = pmatrix_index = 0..tips-1, scaler_index = NONE; inner
+    nodes get clv_index = pmatrix_index = tips+i, scaler_index = i, in
+    post-order; the root's pmatrix has no edge (ignored);
+  * operations compilation (pll_rtree_create_operations, rtree.c:262-305)
+    skips the root's branch;
+  * unrooting (pll_rtree_unroot / pll_unroot_inplace analog, utree
+    semantics) merges the two root edges.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from ..constants import (SCALE_BUFFER_NONE, TRAVERSE_POSTORDER,
+                         TRAVERSE_PREORDER)
+from ..partition import Operation
+from .newick import _Tokenizer
+from .utree import UNode, UTree, reset_template_indices, wrap_tree
+
+
+class RNode:
+    """Rooted node (pll_rnode_t, pll.h:413-438)."""
+    __slots__ = ("label", "length", "node_index", "clv_index", "scaler_index",
+                 "pmatrix_index", "left", "right", "parent", "data")
+
+    def __init__(self, label: Optional[str] = None, length: float = 0.0):
+        self.label = label
+        self.length = length
+        self.node_index = 0
+        self.clv_index = 0
+        self.scaler_index = SCALE_BUFFER_NONE
+        self.pmatrix_index = 0
+        self.left: Optional[RNode] = None
+        self.right: Optional[RNode] = None
+        self.parent: Optional[RNode] = None
+        self.data = None
+
+    def is_tip(self) -> bool:
+        return self.left is None and self.right is None
+
+    def __repr__(self):
+        return f"RNode({self.label!r}, clv={self.clv_index})"
+
+
+@dataclasses.dataclass
+class RTree:
+    """Wrapper with node array and root (pll_rtree_t, pll.h:432-438)."""
+    nodes: List[RNode]     # tips first, then inner, post-order
+    root: RNode
+    tip_count: int
+
+    @property
+    def inner_count(self) -> int:
+        return len(self.nodes) - self.tip_count
+
+    @property
+    def edge_count(self) -> int:
+        return len(self.nodes) - 1
+
+
+def reset_rtree_template_indices(root: RNode, tip_count: int) -> None:
+    """parse_rtree.y:164-227 semantics."""
+    counters = {"tip": 0, "clv": tip_count, "node": tip_count, "scaler": 0}
+
+    def rec(node: RNode) -> None:
+        if node.is_tip():
+            node.node_index = node.clv_index = node.pmatrix_index = \
+                counters["tip"]
+            node.scaler_index = SCALE_BUFFER_NONE
+            counters["tip"] += 1
+            return
+        rec(node.left)
+        rec(node.right)
+        node.node_index = counters["node"]
+        node.clv_index = node.pmatrix_index = counters["clv"]
+        node.scaler_index = counters["scaler"]
+        counters["node"] += 1
+        counters["clv"] += 1
+        counters["scaler"] += 1
+
+    rec(root)
+
+
+def rtree_traverse(root: RNode, order: int = TRAVERSE_POSTORDER,
+                   cbtrav: Optional[Callable[[RNode], bool]] = None
+                   ) -> List[RNode]:
+    """Pre/post-order traversal with pruning callback (rtree.c:306-387)."""
+    if root.is_tip():
+        raise ValueError("traversal root must be an inner node")
+    if cbtrav is None:
+        cbtrav = lambda n: True  # noqa: E731
+    out: List[RNode] = []
+
+    def rec(node: RNode) -> None:
+        if not cbtrav(node):
+            return
+        if order == TRAVERSE_PREORDER:
+            out.append(node)
+        if not node.is_tip():
+            rec(node.left)
+            rec(node.right)
+        if order == TRAVERSE_POSTORDER:
+            out.append(node)
+
+    rec(root)
+    return out
+
+
+def rtree_create_operations(trav_buffer: Sequence[RNode]
+                            ) -> Tuple[List[Operation], List[float],
+                                       List[int]]:
+    """pll_rtree_create_operations (rtree.c:262-305): the root (last node
+    of a full post-order) contributes no branch."""
+    ops: List[Operation] = []
+    branches: List[float] = []
+    pmatrix_indices: List[int] = []
+    for i, node in enumerate(trav_buffer):
+        if i < len(trav_buffer) - 1:
+            branches.append(node.length)
+            pmatrix_indices.append(node.pmatrix_index)
+        if node.left is not None:
+            ops.append(Operation(
+                parent_clv_index=node.clv_index,
+                child1_clv_index=node.left.clv_index,
+                child2_clv_index=node.right.clv_index,
+                child1_matrix_index=node.left.pmatrix_index,
+                child2_matrix_index=node.right.pmatrix_index,
+                parent_scaler_index=node.scaler_index,
+                child1_scaler_index=node.left.scaler_index,
+                child2_scaler_index=node.right.scaler_index,
+            ))
+    return ops, branches, pmatrix_indices
+
+
+# --------------------------------------------------------------------------
+# newick parse / export
+# --------------------------------------------------------------------------
+
+def _parse_rsubtree(tk: _Tokenizer) -> RNode:
+    if tk.peek() == "(":
+        tk.expect("(")
+        left = _parse_rsubtree(tk)
+        tk.expect(",")
+        right = _parse_rsubtree(tk)
+        tk.expect(")")
+        node = RNode(tk.read_label(), tk.read_length() or 0.0)
+        node.left, node.right = left, right
+        left.parent = right.parent = node
+        return node
+    label = tk.read_label()
+    if label is None:
+        raise ValueError(f"expected label at position {tk.pos}")
+    return RNode(label, tk.read_length() or 0.0)
+
+
+def parse_rtree_string(text: str) -> RTree:
+    """Parse a strictly-binary ROOTED newick (parse_rtree.y semantics)."""
+    tk = _Tokenizer(text)
+    root = _parse_rsubtree(tk)
+    tk.expect(";")
+    if root.is_tip():
+        raise ValueError("input is a single taxon, not a tree")
+
+    tips: List[RNode] = []
+    inner: List[RNode] = []
+
+    def collect(n: RNode) -> None:
+        if n.is_tip():
+            tips.append(n)
+            return
+        collect(n.left)
+        collect(n.right)
+        inner.append(n)
+
+    collect(root)
+    reset_rtree_template_indices(root, len(tips))
+    return RTree(nodes=tips + inner, root=root, tip_count=len(tips))
+
+
+def parse_rtree(path: str | Path) -> RTree:
+    return parse_rtree_string(Path(path).read_text())
+
+
+def export_rtree_newick(root: RNode, with_lengths: bool = True) -> str:
+    """pll_rtree_export_newick (rtree.c:127-260)."""
+    def sub(n: RNode) -> str:
+        if n.is_tip():
+            s = n.label or ""
+        else:
+            s = f"({sub(n.left)},{sub(n.right)}){n.label or ''}"
+        if with_lengths and n.parent is not None:
+            s += f":{n.length:f}"
+        return s
+
+    return sub(root) + ";"
+
+
+# --------------------------------------------------------------------------
+# rooted -> unrooted conversion (utree.c:684-760 pll_utree_create)
+# --------------------------------------------------------------------------
+
+def rtree_to_utree(rtree: RTree) -> UTree:
+    """Unroot: merge the two root edges into one (lengths summed), build
+    the roundabout graph, and re-assign canonical unrooted indices."""
+    root = rtree.root
+    if root.left.is_tip() and root.right.is_tip():
+        raise ValueError("cannot unroot a 2-taxon tree")
+
+    def build(n: RNode) -> UNode:
+        """Return the up-facing half-node for subtree n."""
+        up = UNode(n.label, n.length)
+        if not n.is_tip():
+            h1 = UNode(n.label)
+            h2 = UNode(n.label)
+            up.next, h1.next, h2.next = h1, h2, up
+            for h, child in ((h1, n.left), (h2, n.right)):
+                c = build(child)
+                h.back = c
+                c.back = h
+                h.length = c.length
+        return up
+
+    # pick the non-tip side as the new (virtual) root roundabout
+    a, b = root.left, root.right
+    if a.is_tip():
+        a, b = b, a
+    ua = build(a)
+    ub = build(b)
+    ua.back = ub
+    ub.back = ua
+    ua.length = ub.length = a.length + b.length
+    reset_template_indices(ua, rtree.tip_count)
+    return wrap_tree(ua, binary_required=False)
