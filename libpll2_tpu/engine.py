@@ -174,6 +174,22 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
     pmatrix = jnp.zeros((num_slots, R, S, S), dtype)
     pmatrix = pmatrix.at[jnp.asarray(program.pmatrix_indices)].set(pmats)
 
+    if _use_pallas(cfg):
+        # build tips DIRECTLY in the kernel's site-blocked layout
+        # [N+1, NT, R, S, TB] (partials_pallas.py) — no transposes
+        tb = partials_pallas.pick_site_block(T)
+        nt = T // tb
+        tip_clv = expand_tipchars(tipchars, S, dtype)         # [tips, S, T]
+        tip_b = tip_clv.reshape(cfg.tips, S, nt, tb)
+        tip_b = jnp.transpose(tip_b, (0, 2, 1, 3))            # [tips,NT,S,TB]
+        clv_b = jnp.zeros((cfg.num_clvs + 1, nt, R, S, tb), dtype)
+        clv_b = clv_b.at[:cfg.tips].set(
+            jnp.broadcast_to(tip_b[:, :, None], (cfg.tips, nt, R, S, tb)))
+        scal_b = jnp.zeros((cfg.scale_buffers + 2, nt, 1, tb), jnp.int32)
+        clv_b, scal_b = partials_pallas.update_partials_blocked(
+            clv_b, scal_b, pmatrix, jnp.asarray(program.flat_ops), cfg)
+        return _BlockedView(clv_b, scal_b), pmatrix
+
     clv = jnp.zeros((cfg.num_clvs + 1, R, S, T), dtype)
     tip_clv = expand_tipchars(tipchars, S, dtype)             # [tips, S, T]
     clv = clv.at[:cfg.tips].set(
@@ -183,14 +199,41 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
     else:
         scalers = jnp.zeros((cfg.scale_buffers + 2, T), jnp.int32)
 
-    if _use_pallas(cfg):
-        clv, scalers = partials_pallas.update_partials_flat(
-            clv, scalers, pmatrix, jnp.asarray(program.flat_ops), cfg,
-            tb=partials_pallas.pick_site_block(T))
-    else:
-        clv, scalers = partials_ops.update_partials(
-            clv, scalers, pmatrix, jnp.asarray(program.level_ops), cfg)
-    return clv, scalers, pmatrix
+    clv, scalers = partials_ops.update_partials(
+        clv, scalers, pmatrix, jnp.asarray(program.level_ops), cfg)
+    return _StandardView(clv, scalers), pmatrix
+
+
+class _StandardView:
+    """Row accessors over standard-layout sweep results."""
+
+    def __init__(self, clv, scalers):
+        self._clv = clv
+        self._scalers = scalers
+
+    def clv_row(self, index: int):
+        return self._clv[index]                               # [R, S, T]
+
+    def scaler_row(self, index: int):
+        return self._scalers[index]                           # [T] / [R, T]
+
+
+class _BlockedView:
+    """Row accessors over site-blocked sweep results: transposes only the
+    rows the logL/derivative reductions touch (O(rows), not O(tree))."""
+
+    def __init__(self, clv_b, scal_b):
+        self._clv_b = clv_b                  # [N+1, NT, R, S, TB]
+        self._scal_b = scal_b                # [Z+2, NT, 1, TB]
+
+    def clv_row(self, index: int):
+        nt, R, S, tb = self._clv_b.shape[1:]
+        row = jnp.transpose(self._clv_b[index], (1, 2, 0, 3))
+        return row.reshape(R, S, nt * tb)
+
+    def scaler_row(self, index: int):
+        nt, _, tb = self._scal_b.shape[1:]
+        return self._scal_b[index].reshape(nt * tb)
 
 
 def _use_pallas(cfg: PartitionConfig) -> bool:
@@ -210,15 +253,16 @@ def loglikelihood(program: TreeProgram, cfg: PartitionConfig, model: Model,
     tipchars: [tips, T] int32 packed state bitmasks; pattern_weights: [T];
     invariant: [T] int32.
     """
-    clv, scalers, pmatrix = _sweep(program, cfg, model, branch_lengths,
-                                   tipchars, pattern_weights)
+    view, pmatrix = _sweep(program, cfg, model, branch_lengths,
+                           tipchars, pattern_weights)
     return likelihood_ops.edge_loglikelihood(
-        clv[program.root_clv],
-        scalers[program.root_scaler if program.root_scaler >= 0
-                else cfg.scaler_zero],
-        clv[program.root_back_clv],
-        scalers[program.root_back_scaler if program.root_back_scaler >= 0
-                else cfg.scaler_zero],
+        view.clv_row(program.root_clv),
+        view.scaler_row(program.root_scaler if program.root_scaler >= 0
+                        else cfg.scaler_zero),
+        view.clv_row(program.root_back_clv),
+        view.scaler_row(program.root_back_scaler
+                        if program.root_back_scaler >= 0
+                        else cfg.scaler_zero),
         pmatrix[program.root_pmatrix],
         model.cat_freqs, model.rate_weights, model.cat_pinv,
         invariant, pattern_weights, cfg)
@@ -234,15 +278,18 @@ def optimize_root_branch(program: TreeProgram, cfg: PartitionConfig,
 
     Returns (new_branch_lengths, logl_before).
     """
-    clv, scalers, pmatrix = _sweep(program, cfg, model, branch_lengths,
-                                   tipchars, pattern_weights)
-    rs = (scalers[program.root_scaler] if program.root_scaler >= 0
-          else scalers[cfg.scaler_zero])
-    rbs = (scalers[program.root_back_scaler] if program.root_back_scaler >= 0
-           else scalers[cfg.scaler_zero])
+    view, pmatrix = _sweep(program, cfg, model, branch_lengths,
+                           tipchars, pattern_weights)
+    rs = view.scaler_row(program.root_scaler if program.root_scaler >= 0
+                         else cfg.scaler_zero)
+    rbs = view.scaler_row(program.root_back_scaler
+                          if program.root_back_scaler >= 0
+                          else cfg.scaler_zero)
+    root_clv = view.clv_row(program.root_clv)
+    root_back_clv = view.clv_row(program.root_back_clv)
 
     logl = likelihood_ops.edge_loglikelihood(
-        clv[program.root_clv], rs, clv[program.root_back_clv], rbs,
+        root_clv, rs, root_back_clv, rbs,
         pmatrix[program.root_pmatrix], model.cat_freqs, model.rate_weights,
         model.cat_pinv, invariant, pattern_weights, cfg)
 
@@ -251,7 +298,7 @@ def optimize_root_branch(program: TreeProgram, cfg: PartitionConfig,
     else:
         sp = sc = jnp.zeros((cfg.rate_cats, 1), jnp.int32)
     sumtable = derivatives_ops.update_sumtable(
-        clv[program.root_clv], clv[program.root_back_clv], sp, sc,
+        root_clv, root_back_clv, sp, sc,
         model.eigenvecs[model.params_indices],
         model.inv_eigenvecs[model.params_indices],
         model.cat_freqs, cfg)

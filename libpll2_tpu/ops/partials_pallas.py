@@ -12,21 +12,20 @@ is HBM: exactly (2 reads + 1 write) x R x S x T x 4B per operation.
 Kernel design (one pallas_call for the WHOLE traversal):
 
   * The level-ordered operation list is passed FLAT (no padding) as a
-    scalar-prefetch array [OPS, 8]; grid = (OPS, T // TB), site-block
-    index innermost.
-  * CLVs are viewed as [N, R*S, T]: the fused rate-state axis fills whole
-    f32 sublane tiles (R*S = 16 for DNA+4 rates -> two full (8,128) tiles),
-    so child/parent DMAs move no padding.  The per-op contraction becomes
-    ONE [RS, RS] x [RS, TB] matmul against a block-diagonal expansion of
-    the rate-wise P-matrices (built by XLA outside the kernel).
-  * The CLV tensor stays in HBM (memory_space=ANY) and is aliased
-    input->output: each grid step manually DMAs the two child blocks
-    [RS, TB] into VMEM, computes the parent block, and DMAs it back out
-    to the parent row.  Double-buffered (in-flight window of one grid
-    step each way).
-  * Scalers ride as [Z, 1, T] (so row slices don't cut sublane tiling);
-    the underflow test (all R*S entries < threshold -> multiply by factor,
-    increment counter, counter = left + right + rescue) runs in-register.
+    scalar-prefetch array [OPS, 8]; grid = (OPS, NT), site-block index
+    innermost.
+  * CLVs live in HBM in SITE-BLOCKED layout [N, NT, R, S, TB] (T = NT*TB):
+    one op's (row, site-block) slab is a single CONTIGUOUS R*S*TB*4-byte
+    chunk, so every child read / parent write is one max-bandwidth DMA —
+    no strided descriptors.  The engine builds tip CLVs directly in this
+    layout and transposes back only the two rows the logL reduction needs.
+  * The CLV tensor is aliased input->output: each grid step DMAs the two
+    child slabs into VMEM, computes the parent slab on the VPU (S
+    broadcast-fmas per child — no MXU, no sublane shuffles), and DMAs it
+    out.  Double-buffered (in-flight window of one grid step each way).
+  * Scalers ride as [Z, NT, 1, TB] int32; the underflow test (all R*S
+    entries < threshold -> multiply by factor, increment counter,
+    counter = left + right + rescue) runs in-register.
 
 Correctness of the flat (level-barrier-free) schedule: grid steps execute
 sequentially on the TPU core; the only reordering is the +/-1-step DMA
@@ -71,39 +70,26 @@ def supported(cfg: PartitionConfig) -> bool:
     return pick_site_block(cfg.sites_padded) >= 128
 
 
-def block_diag_pmatrix(p):
-    """[..., R, S, S] -> [..., R*S, R*S] block-diagonal (rate-wise blocks)."""
-    R, S = p.shape[-3], p.shape[-1]
-    eye = jnp.eye(R, dtype=p.dtype)
-    # bd[..., r, i, q, j] = eye[r, q] * P[..., r, i, j]
-    full = jnp.einsum("rq,...rij->...riqj", eye, p)
-    return full.reshape(*p.shape[:-3], R * S, R * S)
+def to_blocked(clv, tb: int):
+    """[N, R, S, T] -> [N, NT, R, S, TB] (transpose; test helper — the
+    engine builds the blocked layout directly)."""
+    N1, R, S, T = clv.shape
+    return clv.reshape(N1, R, S, T // tb, tb).transpose(0, 3, 1, 2, 4)
 
 
-def diag_coefficients(p):
-    """[..., R, S, S] -> [..., 2S-1, R*S] wrapped-diagonal coefficients.
-
-    coef[..., d, k] = BD[..., k, (k + d - (S-1)) mod RS] where BD is the
-    block-diagonal expansion: the per-op matvec becomes
-        out[k] = sum_d coef[d, k] * roll(clv, -(d-(S-1)), axis=0)[k]
-    — 2S-1 VPU fused multiply-adds over full sublane tiles, no MXU.
-    Only offsets |d-(S-1)| <= S-1 can be nonzero for block-diagonal BD.
-    """
-    R, S = p.shape[-3], p.shape[-1]
-    RS = R * S
-    bd = block_diag_pmatrix(p)                      # [..., RS, RS]
-    k = np.arange(RS)
-    cols = (k[None, :] + np.arange(-(S - 1), S)[:, None]) % RS  # [2S-1, RS]
-    return bd[..., k[None, :], cols]                # [..., 2S-1, RS]
+def from_blocked(clv_b):
+    """[N, NT, R, S, TB] -> [N, R, S, T]."""
+    N1, NT, R, S, TB = clv_b.shape
+    return clv_b.transpose(0, 2, 3, 1, 4).reshape(N1, R, S, NT * TB)
 
 
 def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
-                  p1_ref, p2_ref,          # [1, 2S-1, RS] diag-coef blocks
+                  p1_ref, p2_ref,          # [1, R, S, S] VMEM blocks
                   clv_in, scal_in,         # HBM (aliased; unused as inputs)
                   clv_ref, scal_ref,       # HBM refs (aliased outputs)
                   cbuf, obuf, sibuf, sobuf,
                   in_sems, out_sems,
-                  *, nt: int, tb: int, states: int,
+                  *, nt: int, states: int,
                   thresh: float, factor: float):
     del clv_in, scal_in
     w = pl.program_id(0)
@@ -114,33 +100,28 @@ def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
 
     def in_copies(uu, sl):
         ww = uu // nt
-        off = (uu % nt) * tb
+        tt = uu % nt
         return (
-            pltpu.make_async_copy(
-                clv_ref.at[ops_ref[ww, 1], :, pl.ds(off, tb)],
-                cbuf.at[sl, 0], in_sems.at[sl, 0]),
-            pltpu.make_async_copy(
-                clv_ref.at[ops_ref[ww, 2], :, pl.ds(off, tb)],
-                cbuf.at[sl, 1], in_sems.at[sl, 1]),
-            pltpu.make_async_copy(
-                scal_ref.at[ops_ref[ww, 6], :, pl.ds(off, tb)],
-                sibuf.at[sl, 0], in_sems.at[sl, 2]),
-            pltpu.make_async_copy(
-                scal_ref.at[ops_ref[ww, 7], :, pl.ds(off, tb)],
-                sibuf.at[sl, 1], in_sems.at[sl, 3]),
+            pltpu.make_async_copy(clv_ref.at[ops_ref[ww, 1], tt],
+                                  cbuf.at[sl, 0], in_sems.at[sl, 0]),
+            pltpu.make_async_copy(clv_ref.at[ops_ref[ww, 2], tt],
+                                  cbuf.at[sl, 1], in_sems.at[sl, 1]),
+            pltpu.make_async_copy(scal_ref.at[ops_ref[ww, 6], tt],
+                                  sibuf.at[sl, 0], in_sems.at[sl, 2]),
+            pltpu.make_async_copy(scal_ref.at[ops_ref[ww, 7], tt],
+                                  sibuf.at[sl, 1], in_sems.at[sl, 3]),
         )
 
     def out_copies(uu, sl):
         ww = uu // nt
-        off = (uu % nt) * tb
+        tt = uu % nt
         return (
-            pltpu.make_async_copy(
-                obuf.at[sl], clv_ref.at[ops_ref[ww, 0], :, pl.ds(off, tb)],
-                out_sems.at[sl, 0]),
-            pltpu.make_async_copy(
-                sobuf.at[sl],
-                scal_ref.at[ops_ref[ww, 5], :, pl.ds(off, tb)],
-                out_sems.at[sl, 1]),
+            pltpu.make_async_copy(obuf.at[sl],
+                                  clv_ref.at[ops_ref[ww, 0], tt],
+                                  out_sems.at[sl, 0]),
+            pltpu.make_async_copy(sobuf.at[sl],
+                                  scal_ref.at[ops_ref[ww, 5], tt],
+                                  out_sems.at[sl, 1]),
         )
 
     @pl.when(u == 0)
@@ -156,24 +137,21 @@ def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
     for c in in_copies(u, slot):
         c.wait()
 
-    # per-child matvec as 2S-1 diagonal-roll VPU fmas (full sublane tiles)
-    c1 = cbuf[slot, 0]                                  # [RS, TB]
-    c2 = cbuf[slot, 1]
-    p1 = p1_ref[0]                                      # [2S-1, RS]
+    p1 = p1_ref[0]                     # [R, S, S]
     p2 = p2_ref[0]
-    rs = c1.shape[0]
-    left = p1[0][:, None] * pltpu.roll(c1, states - 1, 0)
-    right = p2[0][:, None] * pltpu.roll(c2, states - 1, 0)
-    for d in range(1, 2 * states - 1):
-        shift = (states - 1 - d) % rs                   # static, >= 0
-        left += p1[d][:, None] * pltpu.roll(c1, shift, 0)
-        right += p2[d][:, None] * pltpu.roll(c2, shift, 0)
-    parent = left * right                               # [RS, TB]
+    c1 = cbuf[slot, 0]                 # [R, S, TB]
+    c2 = cbuf[slot, 1]
+    left = p1[:, :, 0:1] * c1[:, 0:1, :]
+    right = p2[:, :, 0:1] * c2[:, 0:1, :]
+    for j in range(1, states):
+        left += p1[:, :, j:j + 1] * c1[:, j:j + 1, :]
+        right += p2[:, :, j:j + 1] * c2[:, j:j + 1, :]
+    parent = left * right              # [R, S, TB]
 
     # counter-based underflow rescue (per site, all rates+states below)
-    mask = jnp.all(parent < thresh, axis=0, keepdims=True)       # [1, TB]
+    mask = jnp.all(parent < thresh, axis=(0, 1), keepdims=True)  # [1,1,TB]
     parent = jnp.where(mask, parent * factor, parent)
-    snew = sibuf[slot, 0] + sibuf[slot, 1] + mask.astype(jnp.int32)
+    snew = sibuf[slot, 0] + sibuf[slot, 1] + mask[0].astype(jnp.int32)
 
     # before overwriting this slot's out buffers, drain step u-2's writes
     @pl.when(u >= 2)
@@ -196,45 +174,37 @@ def _sweep_kernel(ops_ref,                 # [OPS, 8] int32 (scalar prefetch)
             c.wait()
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "tb", "interpret"))
-def update_partials_flat(clv, scalers, pmatrix, flat_ops,
-                         cfg: PartitionConfig, tb: int,
-                         interpret: bool = False):
-    """Run the whole CLV sweep as one Pallas program.
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def update_partials_blocked(clv_b, scal_b, pmatrix, flat_ops,
+                            cfg: PartitionConfig,
+                            interpret: bool = False):
+    """CLV sweep over SITE-BLOCKED buffers (the engine's native layout).
 
-    clv:      [N+1, R, S, T]   (T = cfg.sites_padded, divisible by tb)
-    scalers:  [Z+2, T] int32
+    clv_b:    [N+1, NT, R, S, TB]
+    scal_b:   [Z+2, NT, 1, TB] int32
     pmatrix:  [P, R, S, S]
     flat_ops: [OPS, 8] int32, level order (partition.flatten_level_ops)
     """
     n_ops = flat_ops.shape[0]
     if n_ops == 0:
-        return clv, scalers
-    N1, R, S, T = clv.shape
-    RS = R * S  # noqa: N806
-    nt = T // tb
-    assert nt >= MIN_NT and T % tb == 0, (nt, T, tb)
+        return clv_b, scal_b
+    N1, nt, R, S, tb = clv_b.shape
+    assert nt >= MIN_NT, (nt, tb)
 
-    # fused rate-state sublane axis: full (8,128) tiles, padding-free DMAs
-    clv2 = clv.reshape(N1, RS, T)
-    # scalers ride as [Z, 1, T]: row slices must not cut the sublane tiling
-    scalers3 = scalers[:, None, :]
-
-    p1 = diag_coefficients(pmatrix[flat_ops[:, 3]])    # [OPS, 2S-1, RS]
-    p2 = diag_coefficients(pmatrix[flat_ops[:, 4]])
+    p1 = pmatrix[flat_ops[:, 3]]       # [OPS, R, S, S] — tiny gathers
+    p2 = pmatrix[flat_ops[:, 4]]
 
     kernel = functools.partial(
-        _sweep_kernel, nt=nt, tb=tb, states=S,
+        _sweep_kernel, nt=nt, states=S,
         thresh=cfg.scale_threshold, factor=cfg.scale_factor)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ops, nt),
         in_specs=[
-            pl.BlockSpec((1, 2 * S - 1, RS), lambda w, t, ops: (w, 0, 0),
+            pl.BlockSpec((1, R, S, S), lambda w, t, ops: (w, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * S - 1, RS), lambda w, t, ops: (w, 0, 0),
+            pl.BlockSpec((1, R, S, S), lambda w, t, ops: (w, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -244,8 +214,8 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, RS, tb), cfg.dtype),     # child blocks
-            pltpu.VMEM((2, RS, tb), cfg.dtype),        # parent block
+            pltpu.VMEM((2, 2, R, S, tb), cfg.dtype),   # child slabs
+            pltpu.VMEM((2, R, S, tb), cfg.dtype),      # parent slab
             pltpu.VMEM((2, 2, 1, tb), jnp.int32),      # child scalers
             pltpu.VMEM((2, 1, tb), jnp.int32),         # parent scaler
             pltpu.SemaphoreType.DMA((2, 4)),
@@ -257,8 +227,8 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(clv2.shape, clv2.dtype),
-            jax.ShapeDtypeStruct(scalers3.shape, scalers3.dtype),
+            jax.ShapeDtypeStruct(clv_b.shape, clv_b.dtype),
+            jax.ShapeDtypeStruct(scal_b.shape, scal_b.dtype),
         ),
         # operand order: ops(0) p1(1) p2(2) clv(3) scalers(4)
         input_output_aliases={3: 0, 4: 1},
@@ -266,10 +236,30 @@ def update_partials_flat(clv, scalers, pmatrix, flat_ops,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=n_ops * T * (2 * RS * RS * 2 + RS),
-            bytes_accessed=n_ops * RS * T * clv.dtype.itemsize * 3,
+            flops=n_ops * R * S * nt * tb * (4 * S + 1),
+            bytes_accessed=n_ops * R * S * nt * tb
+            * clv_b.dtype.itemsize * 3,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(flat_ops, p1, p2, clv2, scalers3)
-    return clv_out.reshape(N1, R, S, T), scal_out[:, 0, :]
+    )(flat_ops, p1, p2, clv_b, scal_b)
+    return clv_out, scal_out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tb", "interpret"))
+def update_partials_flat(clv, scalers, pmatrix, flat_ops,
+                         cfg: PartitionConfig, tb: int,
+                         interpret: bool = False):
+    """Standard-layout wrapper (tests; the engine uses the blocked form).
+
+    clv: [N+1, R, S, T]; scalers: [Z+2, T] int32.
+    """
+    N1, R, S, T = clv.shape
+    nt = T // tb
+    assert nt >= MIN_NT and T % tb == 0, (nt, T, tb)
+    clv_b = to_blocked(clv, tb)
+    scal_b = scalers.reshape(scalers.shape[0], nt, 1, tb)
+    clv_b, scal_b = update_partials_blocked(clv_b, scal_b, pmatrix,
+                                            flat_ops, cfg,
+                                            interpret=interpret)
+    return from_blocked(clv_b), scal_b.reshape(scalers.shape[0], T)
