@@ -16,6 +16,7 @@ from .constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
                         SCALE_BUFFER_NONE)
 from .models.gamma import compute_gamma_cats
 from .models.ratematrix import update_eigen
+from .parsimony import FastParsimony, ParsBuildOp, Parsimony, ParsRecOp
 from .partition import Operation, Partition, levelize_operations
 
 __version__ = "0.1.0"
@@ -23,6 +24,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Partition", "Operation", "PartitionConfig", "levelize_operations",
     "compute_gamma_cats", "update_eigen", "constants",
+    "Parsimony", "FastParsimony", "ParsBuildOp", "ParsRecOp",
     "MAP_NT", "MAP_AA", "MAP_BIN", "MAP_GT10", "MAP_GT16", "MAPS",
     "GAMMA_RATES_MEAN", "GAMMA_RATES_MEDIAN", "SCALE_BUFFER_NONE",
     "AB_NONE", "AB_LEWIS", "AB_FELSENSTEIN", "AB_STAMATAKIS",

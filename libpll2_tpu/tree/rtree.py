@@ -140,6 +140,32 @@ def rtree_create_operations(trav_buffer: Sequence[RNode]
     return ops, branches, pmatrix_indices
 
 
+def rtree_create_pars_buildops(trav_buffer: Sequence[RNode]):
+    """pll_rtree_create_pars_buildops (rtree.c:458-481): clv_index-based
+    score indices (rooted trees need only one vector per node)."""
+    from ..parsimony.sankoff import ParsBuildOp
+    return [ParsBuildOp(parent_score_index=n.clv_index,
+                        child1_score_index=n.left.clv_index,
+                        child2_score_index=n.right.clv_index)
+            for n in trav_buffer if n.left is not None]
+
+
+def rtree_create_pars_recops(trav_buffer: Sequence[RNode]):
+    """pll_rtree_create_pars_recops (rtree.c:483-517): preorder ancestral
+    reconstruction ops; the root's parent entries are unused zeros."""
+    from ..parsimony.sankoff import ParsRecOp
+    ops = []
+    for n in trav_buffer:
+        if n.left is not None:
+            p = n.parent
+            ops.append(ParsRecOp(
+                node_score_index=n.clv_index,
+                node_ancestral_index=n.clv_index,
+                parent_score_index=p.clv_index if p is not None else 0,
+                parent_ancestral_index=p.clv_index if p is not None else 0))
+    return ops
+
+
 # --------------------------------------------------------------------------
 # newick parse / export
 # --------------------------------------------------------------------------

@@ -37,6 +37,18 @@
  *   print_rates                             (print category rates)
  *   print_scaler <index>
  *   asc_weights w0 ... w{states-1}          (set asc-bias state weights)
+ *   pars_create tips states sites score_buffers ancestral_buffers
+ *       then one line: states*states score-matrix doubles
+ *   pars_tip <index> <sequence>             (uses current map)
+ *   pars_op p c1 c2                         (queue Sankoff build op)
+ *   pars_build                              (run ops; prints pars_build_score)
+ *   pars_score <index>                      (prints pars_score)
+ *   pars_recop node_s node_a parent_s parent_a   (queue reconstruct op)
+ *   pars_reconstruct                        (run; prints pars_anc per op)
+ *   fastpars_init                           (Fitch init from partition;
+ *                                            prints fastpars_const/informative)
+ *   fastpars_op p c1 c2 | fastpars_update   (queue / run vector updates)
+ *   fastpars_edge i j | fastpars_root i     (print scores)
  */
 #include "pll.h"
 #include <stdio.h>
@@ -56,6 +68,13 @@ static double *sumtable = NULL;
 static unsigned int sum_pscaler, sum_cscaler;
 
 static pll_state_t odd5_map[256];
+
+static pll_parsimony_t *spars = NULL;       /* Sankoff instance */
+static pll_parsimony_t *fpars = NULL;       /* Fitch instance */
+static pll_pars_buildop_t parsops[MAXOPS];
+static unsigned int nparsops = 0;
+static pll_pars_recop_t recops[MAXOPS];
+static unsigned int nrecops = 0;
 
 static void die(const char *msg)
 {
@@ -399,6 +418,103 @@ int main(void)
         for (j = 0; j < st; ++j)
           printf(" %.17g", part->inv_eigenvecs[idx][i * sp + j]);
       printf("\n");
+    }
+    else if (!strcmp(cmd, "pars_create"))
+    {
+      unsigned int tips, states, sites, sb, ab;
+      if (sscanf(rest, "%u %u %u %u %u", &tips, &states, &sites, &sb, &ab)
+          != 5) die("pars_create args");
+      if (!fgets(line, LINE, stdin)) die("pars_create matrix line");
+      double *m = read_doubles(line, states * states);
+      spars = pll_parsimony_create(tips, states, sites, m, sb, ab);
+      if (!spars) die("parsimony_create");
+      free(m);
+    }
+    else if (!strcmp(cmd, "pars_tip"))
+    {
+      unsigned int idx; char *seq = (char*)malloc(LINE);
+      sscanf(rest, "%u %s", &idx, seq);
+      if (!pll_set_parsimony_sequence(spars, idx, cur_map, seq))
+        die("pars_tip");
+      free(seq);
+    }
+    else if (!strcmp(cmd, "pars_op"))
+    {
+      unsigned int p, c1, c2;
+      sscanf(rest, "%u %u %u", &p, &c1, &c2);
+      parsops[nparsops].parent_score_index = p;
+      parsops[nparsops].child1_score_index = c1;
+      parsops[nparsops].child2_score_index = c2;
+      nparsops++;
+    }
+    else if (!strcmp(cmd, "pars_build"))
+    {
+      double score = pll_parsimony_build(spars, parsops, nparsops);
+      printf("pars_build_score %.17g\n", score);
+      nparsops = 0;
+    }
+    else if (!strcmp(cmd, "pars_score"))
+    {
+      unsigned int idx;
+      sscanf(rest, "%u", &idx);
+      printf("pars_score %.17g\n", pll_parsimony_score(spars, idx));
+    }
+    else if (!strcmp(cmd, "pars_recop"))
+    {
+      unsigned int ns, na, ps, pa;
+      sscanf(rest, "%u %u %u %u", &ns, &na, &ps, &pa);
+      recops[nrecops].node_score_index = ns;
+      recops[nrecops].node_ancestral_index = na;
+      recops[nrecops].parent_score_index = ps;
+      recops[nrecops].parent_ancestral_index = pa;
+      nrecops++;
+    }
+    else if (!strcmp(cmd, "pars_reconstruct"))
+    {
+      unsigned int i, n;
+      pll_parsimony_reconstruct(spars, cur_map, recops, nrecops);
+      for (i = 0; i < nrecops; ++i)
+      {
+        unsigned int *anc = spars->anc_states[recops[i].node_ancestral_index];
+        printf("pars_anc %u ", recops[i].node_ancestral_index);
+        for (n = 0; n < spars->sites; ++n)
+          putchar((char)anc[n]);
+        putchar('\n');
+      }
+      nrecops = 0;
+    }
+    else if (!strcmp(cmd, "fastpars_init"))
+    {
+      fpars = pll_fastparsimony_init(part);
+      if (!fpars) die("fastparsimony_init");
+      printf("fastpars_const %u\n", fpars->const_cost);
+      printf("fastpars_informative %u\n", fpars->informative_count);
+    }
+    else if (!strcmp(cmd, "fastpars_op"))
+    {
+      unsigned int p, c1, c2;
+      sscanf(rest, "%u %u %u", &p, &c1, &c2);
+      parsops[nparsops].parent_score_index = p;
+      parsops[nparsops].child1_score_index = c1;
+      parsops[nparsops].child2_score_index = c2;
+      nparsops++;
+    }
+    else if (!strcmp(cmd, "fastpars_update"))
+    {
+      pll_fastparsimony_update_vectors(fpars, parsops, nparsops);
+      nparsops = 0;
+    }
+    else if (!strcmp(cmd, "fastpars_edge"))
+    {
+      unsigned int i, j;
+      sscanf(rest, "%u %u", &i, &j);
+      printf("fastpars_edge %u\n", pll_fastparsimony_edge_score(fpars, i, j));
+    }
+    else if (!strcmp(cmd, "fastpars_root"))
+    {
+      unsigned int i;
+      sscanf(rest, "%u", &i);
+      printf("fastpars_root %u\n", pll_fastparsimony_root_score(fpars, i));
     }
     else
     {

@@ -56,6 +56,13 @@ def run_oracle(script: str) -> dict:
                 np.array(vals[1:], dtype=np.int64)
         elif key in ("root_logl", "edge_logl"):
             out.setdefault(key, []).append(float(vals[0]))
+        elif key == "pars_anc":
+            out.setdefault(key, {})[int(vals[0])] = vals[1]
+        elif key in ("fastpars_edge", "fastpars_root"):
+            out.setdefault(key, []).append(int(vals[0]))
+        elif key in ("fastpars_const", "fastpars_informative",
+                     "pars_build_score", "pars_score"):
+            out[key] = float(vals[0])
         else:
             out[key] = np.array(vals, dtype=np.float64)
     return out
