@@ -207,3 +207,39 @@ def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
     if with_persite:
         return logl, site_lk
     return logl
+
+
+def node_ancestral(clv_node,         # [R, S, T] CLV toward the edge
+                   scaler_node,      # [T] / [R, T] int32
+                   clv_other,        # [R, S, T] CLV of the other direction
+                   scaler_other,     # [T] / [R, T] int32
+                   pmat,             # [R, S, S] P-matrix across the edge
+                   freqs,            # [R, S]
+                   rate_weights,     # [R]
+                   cfg: PartitionConfig):
+    """Marginal ancestral state probabilities at a node.
+
+    pll_compute_node_ancestral (likelihood.c:639-823): combine the CLVs of
+    the two edge directions — the node's own CLV passes through an IDENTITY
+    P-matrix, the other direction through ``pmat`` — then form the per-site
+    posterior  anc[t, j] ∝ Σ_r rw_r · π_{r,j} · clv_combined[r, j, t],
+    normalized over states.
+
+    Per-site scalers multiply every (r, j) of a site by the same power and
+    cancel in the normalization; per-rate scalers are un-done (capped at
+    SCALE_RATE_MAXDIFF, core_likelihood.c:445-491) before the rate sum.
+
+    Returns [T, S] (padding sites normalized against a sum of ~0 are
+    clamped to 0).
+    """
+    dtype = cfg.dtype
+    combined = clv_node * jnp.einsum("rij,rjt->rit", pmat, clv_other,
+                                     preferred_element_type=dtype)
+    if cfg.per_rate_scalers:
+        _, undo = _per_rate_undo(scaler_node, scaler_other, cfg, dtype)
+        combined = combined * undo[:, None, :]
+    weighted = jnp.einsum("r,rs,rst->ts", rate_weights.astype(dtype),
+                          freqs.astype(dtype), combined)
+    total = jnp.sum(weighted, axis=1, keepdims=True)
+    return jnp.where(total > 0, weighted / jnp.where(total > 0, total, 1.0),
+                     0.0)

@@ -88,6 +88,14 @@ def _jit_edge_logl(clvp, sp, clvc, sc, pmat, freqs, rate_weights, prop_invar,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_node_ancestral(clv_node, scaler_node, clv_other, scaler_other,
+                        pmat, freqs, rate_weights, cfg):
+    return likelihood_ops.node_ancestral(
+        clv_node, scaler_node, clv_other, scaler_other, pmat, freqs,
+        rate_weights, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _jit_sumtable(clvp, clvc, sp, sc, eigenvecs, inv_eigenvecs, freqs, cfg,
                   asc_scalers=None):
     return derivatives_ops.update_sumtable(
@@ -427,6 +435,21 @@ class Partition:
         if return_persite:
             return float(logl), np.asarray(persite)[:self.cfg.sites]
         return float(logl)
+
+    def compute_node_ancestral(self, node_clv_index: int,
+                               node_scaler_index: int,
+                               other_clv_index: int,
+                               other_scaler_index: int,
+                               matrix_index: int, freqs_indices) -> np.ndarray:
+        """Marginal ancestral state probabilities, [sites, states]
+        (pll_compute_node_ancestral, likelihood.c:639-823)."""
+        freqs, _ = self._gather_model(freqs_indices)
+        anc = _jit_node_ancestral(
+            self.clv[node_clv_index], self._scaler_row(node_scaler_index),
+            self.clv[other_clv_index], self._scaler_row(other_scaler_index),
+            self.pmatrix[matrix_index], freqs,
+            jnp.asarray(self.rate_weights), cfg=self.cfg)
+        return np.asarray(anc)[:self.cfg.sites]
 
     # --- derivatives -------------------------------------------------------
 

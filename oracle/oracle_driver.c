@@ -419,6 +419,22 @@ int main(void)
           printf(" %.17g", part->inv_eigenvecs[idx][i * sp + j]);
       printf("\n");
     }
+    else if (!strcmp(cmd, "ancestral"))
+    {
+      int nclv, nscaler, oclv, oscaler, pmat;
+      unsigned int n;
+      sscanf(rest, "%d %d %d %d %d", &nclv, &nscaler, &oclv, &oscaler, &pmat);
+      double *anc = (double*)malloc(part->sites * part->states *
+                                    sizeof(double));
+      if (!pll_compute_node_ancestral(part, nclv, nscaler, oclv, oscaler,
+                                      pmat, params_indices, anc))
+        die("compute_node_ancestral");
+      printf("ancestral");
+      for (n = 0; n < part->sites * part->states; ++n)
+        printf(" %.17g", anc[n]);
+      printf("\n");
+      free(anc);
+    }
     else if (!strcmp(cmd, "pars_create"))
     {
       unsigned int tips, states, sites, sb, ab;
