@@ -4,5 +4,10 @@ scoring, plus randomized stepwise-addition tree building
 src/stepwise.c)."""
 from .sankoff import Parsimony, ParsBuildOp, ParsRecOp
 from .fitch import FastParsimony
+from .stepwise import (fastparsimony_stepwise,
+                       fastparsimony_stepwise_extend,
+                       fastparsimony_stepwise_spr_round)
 
-__all__ = ["Parsimony", "ParsBuildOp", "ParsRecOp", "FastParsimony"]
+__all__ = ["Parsimony", "ParsBuildOp", "ParsRecOp", "FastParsimony",
+           "fastparsimony_stepwise", "fastparsimony_stepwise_spr_round",
+           "fastparsimony_stepwise_extend"]

@@ -83,6 +83,30 @@ def _fitch_level(packed, node_cost, ops):
 
 
 @jax.jit
+def _placement_scores(packed, node_cost, pairs, sub_index):
+    """Batched insertion scoring: for each candidate edge (c1, c2) in
+    ``pairs`` [K, 2], form the Fitch parent of (c1, c2) and score the new
+    edge against the subtree vector ``sub_index`` — the whole
+    splice-update-score-unsplice loop of the reference's stepwise
+    insertion (stepwise.c:486-525) as ONE vectorized program."""
+    c1 = packed[pairs[:, 0]]
+    c2 = packed[pairs[:, 1]]
+    vand = c1 & c2
+    orvand = jax.lax.reduce(vand, np.uint32(0),
+                            jax.lax.bitwise_or, (1,))       # [K, W]
+    parent = vand | (~orvand[:, None, :] & (c1 | c2))
+    pcost = (jnp.sum(jax.lax.population_count(~orvand), axis=1)
+             .astype(jnp.int32)
+             + node_cost[pairs[:, 0]] + node_cost[pairs[:, 1]])
+    vt = packed[sub_index]                                  # [S, W]
+    orv2 = jax.lax.reduce(parent & vt[None], np.uint32(0),
+                          jax.lax.bitwise_or, (1,))
+    escore = jnp.sum(jax.lax.population_count(~orv2),
+                     axis=1).astype(jnp.int32)
+    return escore + pcost + node_cost[sub_index]
+
+
+@jax.jit
 def _edge_scores(packed, node_cost, pairs):
     """Batched edge scores (without const_cost): pairs [K, 2] int32."""
     v1 = packed[pairs[:, 0]]
@@ -177,6 +201,14 @@ class FastParsimony:
         """Score many (node1, node2) edges at once (TPU-native extension)."""
         out = _edge_scores(self.packed, self.node_cost,
                            jnp.asarray(pairs, dtype=jnp.int32))
+        return np.asarray(out) + self.const_cost
+
+    def placement_scores(self, pairs, subtree_index: int) -> np.ndarray:
+        """Insertion scores of a subtree at many candidate edges at once
+        (TPU-native replacement for stepwise.c:486-525)."""
+        out = _placement_scores(self.packed, self.node_cost,
+                                jnp.asarray(pairs, dtype=jnp.int32),
+                                jnp.int32(subtree_index))
         return np.asarray(out) + self.const_cost
 
     def root_score(self, root_index: int) -> int:

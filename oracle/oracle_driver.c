@@ -71,6 +71,7 @@ static pll_state_t odd5_map[256];
 
 static pll_parsimony_t *spars = NULL;       /* Sankoff instance */
 static pll_parsimony_t *fpars = NULL;       /* Fitch instance */
+static pll_utree_t *stepwise_tree = NULL;   /* last stepwise result */
 static pll_pars_buildop_t parsops[MAXOPS];
 static unsigned int nparsops = 0;
 static pll_pars_recop_t recops[MAXOPS];
@@ -531,6 +532,51 @@ int main(void)
       unsigned int i;
       sscanf(rest, "%u", &i);
       printf("fastpars_root %u\n", pll_fastparsimony_root_score(fpars, i));
+    }
+    else if (!strcmp(cmd, "stepwise"))
+    {
+      /* stepwise <seed>: randomized stepwise-addition tree from the Fitch
+         parsimony struct (labels auto-generated t0..tN-1) */
+      unsigned int seed, i;
+      sscanf(rest, "%u", &seed);
+      unsigned int tips = part->tips;
+      char **labels = (char**)malloc(tips * sizeof(char*));
+      for (i = 0; i < tips; ++i)
+      {
+        labels[i] = (char*)malloc(16);
+        snprintf(labels[i], 16, "t%u", i);
+      }
+      unsigned int cost;
+      pll_parsimony_t *plist[1] = { fpars };
+      stepwise_tree = pll_fastparsimony_stepwise(plist, labels, &cost, 1,
+                                                 seed);
+      if (!stepwise_tree) die("stepwise");
+      char *nwk = pll_utree_export_newick(stepwise_tree->vroot, NULL);
+      printf("stepwise_cost %u\n", cost);
+      printf("stepwise_tree %s\n", nwk);
+      free(nwk);
+      for (i = 0; i < tips; ++i) free(labels[i]);
+      free(labels);
+    }
+    else if (!strcmp(cmd, "stepwise_spr"))
+    {
+      /* stepwise_spr <seed>: one unconstrained SPR round on the stepwise
+         tree (all-zero clv_index_map disables the constraint) */
+      unsigned int seed;
+      sscanf(rest, "%u", &seed);
+      unsigned int nodes = stepwise_tree->tip_count +
+                           stepwise_tree->inner_count;
+      int *map = (int*)calloc(nodes, sizeof(int));
+      unsigned int cost;
+      pll_parsimony_t *plist[1] = { fpars };
+      if (!pll_fastparsimony_stepwise_spr_round(stepwise_tree, plist, 1,
+                                                NULL, seed, map, &cost))
+        die("stepwise_spr");
+      char *nwk = pll_utree_export_newick(stepwise_tree->vroot, NULL);
+      printf("spr_cost %u\n", cost);
+      printf("spr_tree %s\n", nwk);
+      free(nwk);
+      free(map);
     }
     else
     {

@@ -58,6 +58,10 @@ def run_oracle(script: str) -> dict:
             out.setdefault(key, []).append(float(vals[0]))
         elif key == "pars_anc":
             out.setdefault(key, {})[int(vals[0])] = vals[1]
+        elif key in ("stepwise_tree", "spr_tree"):
+            out[key] = vals[0]
+        elif key in ("stepwise_cost", "spr_cost"):
+            out[key] = int(vals[0])
         elif key in ("fastpars_edge", "fastpars_root"):
             out.setdefault(key, []).append(int(vals[0]))
         elif key in ("fastpars_const", "fastpars_informative",
