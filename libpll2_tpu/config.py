@@ -38,6 +38,7 @@ class PartitionConfig:
     scale_buffers: int
     per_rate_scalers: bool = False
     pattern_tip: bool = False
+    site_repeats: bool = False
     asc_bias: int = AB_NONE
     asc_bias_flag: bool = False  # apply correction during logL computation
     dtype: Any = jnp.float64

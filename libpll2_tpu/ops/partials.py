@@ -106,6 +106,72 @@ def update_partials(clv, scalers, pmatrix, level_ops, cfg: PartitionConfig):
     return clv, scalers
 
 
+def _level_update_gather(clv, scalers, pmatrix, ops, gathers,
+                         cfg: PartitionConfig):
+    """One level of CLV updates with per-op site-axis gathers — the site
+    repeats kernel (repeats.c semantics; see repeats.py).
+
+    gathers: [W, 2, T] int32 — child1/child2 CLV slot feeding each parent
+    slot.  Identity rows make this the dense kernel; class-indexed
+    children are dereferenced by the gather, and the parent row is
+    written class-indexed (slots beyond its class count hold unread
+    values)."""
+    dtype = clv.dtype
+    g1 = gathers[:, 0][:, None, None, :]     # [W, 1, 1, T]
+    g2 = gathers[:, 1][:, None, None, :]
+    c1 = jnp.take_along_axis(clv[ops[:, OP_CHILD1_CLV]], g1, axis=3)
+    c2 = jnp.take_along_axis(clv[ops[:, OP_CHILD2_CLV]], g2, axis=3)
+    p1 = pmatrix[ops[:, OP_CHILD1_MAT]]
+    p2 = pmatrix[ops[:, OP_CHILD2_MAT]]
+
+    left = jnp.einsum("wrij,wrjt->writ", p1, c1,
+                      preferred_element_type=dtype)
+    right = jnp.einsum("wrij,wrjt->writ", p2, c2,
+                       preferred_element_type=dtype)
+    parent = left * right
+
+    thresh = jnp.asarray(cfg.scale_threshold, dtype)
+    factor = jnp.asarray(cfg.scale_factor, dtype)
+
+    s1 = scalers[ops[:, OP_CHILD1_SCALER]]
+    s2 = scalers[ops[:, OP_CHILD2_SCALER]]
+    if cfg.per_rate_scalers:
+        s1 = jnp.take_along_axis(s1, gathers[:, 0][:, None, :], axis=2)
+        s2 = jnp.take_along_axis(s2, gathers[:, 1][:, None, :], axis=2)
+        mask = jnp.all(parent < thresh, axis=2)
+        parent = jnp.where(mask[:, :, None, :], parent * factor, parent)
+        snew = s1 + s2 + mask.astype(jnp.int32)
+    else:
+        s1 = jnp.take_along_axis(s1, gathers[:, 0], axis=1)
+        s2 = jnp.take_along_axis(s2, gathers[:, 1], axis=1)
+        mask = jnp.all(parent < thresh, axis=(1, 2))
+        parent = jnp.where(mask[:, None, None, :], parent * factor, parent)
+        snew = s1 + s2 + mask.astype(jnp.int32)
+
+    clv = clv.at[ops[:, OP_PARENT_CLV]].set(parent)
+    scalers = scalers.at[ops[:, OP_PARENT_SCALER]].set(snew)
+    return clv, scalers
+
+
+def update_partials_repeats(clv, scalers, pmatrix, level_ops, level_gathers,
+                            cfg: PartitionConfig):
+    """Level-batched operations program with site-repeats gathers.
+
+    level_ops: [L, W, 8]; level_gathers: [L, W, 2, T]."""
+    if level_ops.shape[0] == 0:
+        return clv, scalers
+
+    def body(carry, x):
+        ops, gathers = x
+        c, s = _level_update_gather(carry[0], carry[1], pmatrix, ops,
+                                    gathers, cfg)
+        return (c, s), None
+
+    (clv, scalers), _ = jax.lax.scan(body, (clv, scalers),
+                                     (level_ops, level_gathers))
+    return clv, scalers
+
+
 def update_partials_unrolled(clv, scalers, pmatrix, levels, cfg):
     """Same as update_partials but with a Python-level loop over a list of
     differently-shaped level tensors (no scan padding waste; longer trace).

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants
+from . import repeats as repeats_mod
 from .config import PartitionConfig
 from .models import gamma as gamma_mod
 from .models import ratematrix
@@ -59,6 +60,14 @@ class Operation:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _jit_update_partials(clv, scalers, pmatrix, level_ops, cfg):
     return partials_ops.update_partials(clv, scalers, pmatrix, level_ops, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_update_partials_repeats(clv, scalers, pmatrix, level_ops,
+                                 level_gathers, cfg):
+    return partials_ops.update_partials_repeats(clv, scalers, pmatrix,
+                                                level_ops, level_gathers,
+                                                cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -153,6 +162,54 @@ def levelize_operations(ops: Sequence[Operation], cfg: PartitionConfig
     return out
 
 
+def levelize_operations_repeats(ops: Sequence[Operation],
+                                cfg: PartitionConfig,
+                                repeats) -> tuple:
+    """Levelize AND update the site-repeats class structure in post-order,
+    emitting per-op child gather arrays (see repeats.py).
+
+    Returns (level_ops [L, W, 8], level_gathers [L, W, 2, T])."""
+    T = cfg.sites_padded
+    gather_of: dict[int, np.ndarray] = {}
+    for op in ops:
+        repeats.update(op.parent_clv_index, op.child1_clv_index,
+                       op.child2_clv_index, op.parent_scaler_index)
+        g1 = repeats.child_gather(op.parent_clv_index, op.child1_clv_index,
+                                  T)
+        g2 = repeats.child_gather(op.parent_clv_index, op.child2_clv_index,
+                                  T)
+        gather_of[id(op)] = np.stack([g1, g2])
+
+    level_of: dict[int, int] = {}
+    levels: list[list[Operation]] = []
+    for op in ops:
+        lvl = max(level_of.get(op.child1_clv_index, 0),
+                  level_of.get(op.child2_clv_index, 0))
+        level_of[op.parent_clv_index] = lvl + 1
+        while len(levels) <= lvl:
+            levels.append([])
+        levels[lvl].append(op)
+
+    if not levels:
+        return (np.zeros((0, 1, partials_ops.OP_COLS), dtype=np.int32),
+                np.zeros((0, 1, 2, T), dtype=np.int32))
+
+    width = max(len(l) for l in levels)
+    out = np.empty((len(levels), width, partials_ops.OP_COLS),
+                   dtype=np.int32)
+    noop = np.array([cfg.clv_scratch, cfg.clv_scratch, cfg.clv_scratch,
+                     0, 0, cfg.scaler_scratch, cfg.scaler_zero,
+                     cfg.scaler_zero], dtype=np.int32)
+    out[:] = noop
+    gathers = np.broadcast_to(np.arange(T, dtype=np.int32),
+                              (len(levels), width, 2, T)).copy()
+    for li, lops in enumerate(levels):
+        for wi, op in enumerate(lops):
+            out[li, wi] = _encode_op(op, cfg)
+            gathers[li, wi] = gather_of[id(op)]
+    return out, gathers
+
+
 def flatten_level_ops(ops: Sequence[Operation], cfg: PartitionConfig
                       ) -> np.ndarray:
     """Level-ordered, UNPADDED [OPS, 8] int32 op tensor for the Pallas
@@ -202,15 +259,24 @@ class Partition:
     def __init__(self, tips: int, clv_buffers: int, states: int, sites: int,
                  rate_matrices: int, prob_matrices: int, rate_cats: int,
                  scale_buffers: int, *, per_rate_scalers: bool = False,
-                 pattern_tip: bool = False, asc_bias: int = constants.AB_NONE,
+                 pattern_tip: bool = False, site_repeats: bool = False,
+                 asc_bias: int = constants.AB_NONE,
                  dtype=jnp.float64, site_block: int = 128):
+        # repeats auto-disabled for tiny alignments (pll.c:446-449)
+        site_repeats = site_repeats and sites >= repeats_mod.MIN_SITES
         cfg = PartitionConfig(
             tips=tips, clv_buffers=clv_buffers, states=states, sites=sites,
             rate_matrices=rate_matrices, prob_matrices=prob_matrices,
             rate_cats=rate_cats, scale_buffers=scale_buffers,
             per_rate_scalers=per_rate_scalers, pattern_tip=pattern_tip,
-            asc_bias=asc_bias, dtype=dtype, site_block=site_block)
+            site_repeats=site_repeats, asc_bias=asc_bias, dtype=dtype,
+            site_block=site_block)
         self.cfg = cfg
+        self.repeats: Optional[repeats_mod.Repeats] = None
+        if site_repeats:
+            additional = cfg.sites_alloc - sites
+            self.repeats = repeats_mod.Repeats(cfg.num_clvs, scale_buffers,
+                                               sites, additional)
         T = cfg.sites_padded
         R, S = rate_cats, states
 
@@ -269,10 +335,16 @@ class Partition:
         self.tipchars[tip_index] = full
         self.tipchars_valid[tip_index] = True
 
+        if self.repeats is not None:
+            # class-indexed tip CLV (pll_update_repeats_tips,
+            # repeats.c:189-254): one 0/1 column per distinct state code
+            self.repeats.update_tip(tip_index, full)
+            ns = self.repeats.sites_number(tip_index)
+            full = full[self.repeats.pernode_id_site[tip_index, :ns]]
         bits = (full[None, :] >> np.arange(cfg.states, dtype=np.uint64)
-                [:, None]) & 1                        # [S, sites_alloc]
+                [:, None]) & 1                        # [S, len(full)]
         row = np.zeros((cfg.rate_cats, cfg.states, cfg.sites_padded))
-        row[:, :, :cfg.sites_alloc] = bits[None, :, :]
+        row[:, :, :full.size] = bits[None, :, :]
         self.clv = self.clv.at[tip_index].set(jnp.asarray(row, cfg.dtype))
 
     def set_tip_clv(self, tip_index: int, clv: np.ndarray,
@@ -384,6 +456,14 @@ class Partition:
     # --- partials ----------------------------------------------------------
 
     def update_partials(self, operations: Sequence[Operation]) -> None:
+        if self.repeats is not None:
+            level_ops, level_gathers = levelize_operations_repeats(
+                operations, self.cfg, self.repeats)
+            self.clv, self.scalers = _jit_update_partials_repeats(
+                self.clv, self.scalers, self.pmatrix,
+                jnp.asarray(level_ops), jnp.asarray(level_gathers),
+                cfg=self.cfg)
+            return
         level_ops = levelize_operations(operations, self.cfg)
         self.clv, self.scalers = _jit_update_partials(
             self.clv, self.scalers, self.pmatrix, jnp.asarray(level_ops),
@@ -402,15 +482,32 @@ class Partition:
             return jnp.full(self.cfg.sites_padded, -1, jnp.int32)
         return jnp.asarray(self.invariant)
 
-    def _scaler_row(self, idx):
-        return self.scalers[self.cfg.scaler_zero if idx == SCALE_BUFFER_NONE
-                            else idx]
+    def _clv_row(self, idx):
+        """CLV row, expanded to site-indexed when class-indexed (repeats)."""
+        row = self.clv[idx]
+        if self.repeats is not None and self.repeats.pernode_ids[idx]:
+            g = self.repeats.expand_gather(idx, self.cfg.sites_padded)
+            row = row[:, :, jnp.asarray(g)]
+        return row
+
+    def _scaler_row(self, idx, node_idx=None):
+        if idx == SCALE_BUFFER_NONE:
+            return self.scalers[self.cfg.scaler_zero]
+        row = self.scalers[idx]
+        if (self.repeats is not None and self.repeats.perscale_ids[idx]):
+            node = self.repeats.perscale_node[idx] \
+                if node_idx is None else node_idx
+            g = jnp.asarray(self.repeats.expand_gather(
+                node, self.cfg.sites_padded))
+            row = row[..., g]
+        return row
 
     def compute_root_loglikelihood(self, clv_index: int, scaler_index: int,
                                    freqs_indices, return_persite=False):
         freqs, pinv = self._gather_model(freqs_indices)
         logl, persite = _jit_root_logl(
-            self.clv[clv_index], self._scaler_row(scaler_index), freqs,
+            self._clv_row(clv_index), self._scaler_row(scaler_index),
+            freqs,
             jnp.asarray(self.rate_weights), pinv, self._invariant_arr(),
             jnp.asarray(self.pattern_weights, self.cfg.dtype), cfg=self.cfg)
         if return_persite:
@@ -425,9 +522,9 @@ class Partition:
                                    return_persite=False):
         freqs, pinv = self._gather_model(freqs_indices)
         logl, persite = _jit_edge_logl(
-            self.clv[parent_clv_index],
+            self._clv_row(parent_clv_index),
             self._scaler_row(parent_scaler_index),
-            self.clv[child_clv_index],
+            self._clv_row(child_clv_index),
             self._scaler_row(child_scaler_index),
             self.pmatrix[matrix_index], freqs,
             jnp.asarray(self.rate_weights), pinv, self._invariant_arr(),
@@ -445,8 +542,10 @@ class Partition:
         (pll_compute_node_ancestral, likelihood.c:639-823)."""
         freqs, _ = self._gather_model(freqs_indices)
         anc = _jit_node_ancestral(
-            self.clv[node_clv_index], self._scaler_row(node_scaler_index),
-            self.clv[other_clv_index], self._scaler_row(other_scaler_index),
+            self._clv_row(node_clv_index),
+            self._scaler_row(node_scaler_index),
+            self._clv_row(other_clv_index),
+            self._scaler_row(other_scaler_index),
             self.pmatrix[matrix_index], freqs,
             jnp.asarray(self.rate_weights), cfg=self.cfg)
         return np.asarray(anc)[:self.cfg.sites]
@@ -471,7 +570,8 @@ class Partition:
             asc_scalers = (self._scaler_row(parent_scaler_index)
                            + self._scaler_row(child_scaler_index))
         return _jit_sumtable(
-            self.clv[parent_clv_index], self.clv[child_clv_index], sp, sc,
+            self._clv_row(parent_clv_index), self._clv_row(child_clv_index),
+            sp, sc,
             jnp.asarray(self.eigenvecs[pi]),
             jnp.asarray(self.inv_eigenvecs[pi]),
             jnp.asarray(self.frequencies[pi]), cfg=self.cfg,
@@ -499,6 +599,32 @@ class Partition:
 
     def get_pmatrix(self, index: int) -> np.ndarray:
         return np.asarray(self.pmatrix[index])
+
+    # --- site-repeats queries (repeats.c:63-98) ----------------------------
+
+    def repeats_enabled(self) -> bool:
+        return self.repeats is not None
+
+    def get_sites_number(self, clv_index: int) -> int:
+        """pll_get_sites_number: class count (or sites) + phantom sites."""
+        if self.repeats is not None:
+            return self.repeats.sites_number(clv_index)
+        return self.cfg.sites_alloc
+
+    def get_clv_size(self, clv_index: int) -> int:
+        return self.get_sites_number(clv_index) * self.cfg.span
+
+    def get_site_id(self, clv_index: int):
+        """site -> class id map, or None when the node is dense."""
+        if self.repeats is None:
+            return None
+        return self.repeats.site_id(clv_index)
+
+    def get_id_site(self, clv_index: int):
+        """class id -> representative site map, or None when dense."""
+        if self.repeats is None:
+            return None
+        return self.repeats.id_site(clv_index)
 
     def get_scaler(self, index: int) -> np.ndarray:
         cfg = self.cfg
