@@ -5,6 +5,7 @@ from .rtree import (RNode, RTree, export_rtree_newick, parse_rtree,
                     parse_rtree_string, reset_rtree_template_indices,
                     rtree_create_operations, rtree_create_pars_buildops,
                     rtree_create_pars_recops, rtree_to_utree, rtree_traverse)
+from .svg import SvgAttrib, export_svg
 from .utree import (UNode, UTree, check_integrity, clone_graph,
                     create_operations, create_pars_buildops, export_newick,
                     reset_template_indices, traverse, wrap_tree)
@@ -20,4 +21,5 @@ __all__ = [
     "export_rtree_newick", "reset_rtree_template_indices",
     "rtree_create_operations", "rtree_create_pars_buildops",
     "rtree_create_pars_recops", "rtree_to_utree", "rtree_traverse",
+    "SvgAttrib", "export_svg",
 ]

@@ -394,6 +394,18 @@ int main(void)
         printf(" %u", part->scale_buffer[idx][n]);
       printf("\n");
     }
+    else if (!strcmp(cmd, "show_pmatrix"))
+    {
+      unsigned int idx, prec;
+      sscanf(rest, "%u %u", &idx, &prec);
+      pll_show_pmatrix(part, idx, prec);
+    }
+    else if (!strcmp(cmd, "show_clv"))
+    {
+      int idx, scaler; unsigned int prec;
+      sscanf(rest, "%d %d %u", &idx, &scaler, &prec);
+      pll_show_clv(part, idx, scaler, prec);
+    }
     else if (!strcmp(cmd, "print_rates"))
     {
       printf("rates");
@@ -557,6 +569,37 @@ int main(void)
       free(nwk);
       for (i = 0; i < tips; ++i) free(labels[i]);
       free(labels);
+    }
+    else if (!strcmp(cmd, "svg_lengths"))
+    {
+      /* deterministic branch lengths keyed on node indices so the Python
+         side can reproduce them exactly */
+      unsigned int i;
+      unsigned int n = stepwise_tree->tip_count + stepwise_tree->inner_count;
+      for (i = 0; i < n; ++i)
+      {
+        pll_unode_t *node = stepwise_tree->nodes[i];
+        pll_unode_t *h = node;
+        do {
+          unsigned int a = h->node_index, b = h->back->node_index;
+          unsigned int lo = a < b ? a : b;
+          double len = 0.05 * ((lo % 10) + 1);
+          h->length = h->back->length = len;
+          h = h->next;
+        } while (h && h != node);
+      }
+    }
+    else if (!strcmp(cmd, "svg"))
+    {
+      /* svg <path>: export the stepwise tree as SVG (default attribs) */
+      char path[512];
+      sscanf(rest, "%511s", path);
+      pll_svg_attrib_t *attr = pll_svg_attrib_create();
+      if (!pll_utree_export_svg(stepwise_tree, stepwise_tree->vroot, attr,
+                                path))
+        die("svg export");
+      pll_svg_attrib_destroy(attr);
+      printf("svg_written %s\n", path);
     }
     else if (!strcmp(cmd, "stepwise_spr"))
     {

@@ -58,7 +58,7 @@ def run_oracle(script: str) -> dict:
             out.setdefault(key, []).append(float(vals[0]))
         elif key == "pars_anc":
             out.setdefault(key, {})[int(vals[0])] = vals[1]
-        elif key in ("stepwise_tree", "spr_tree"):
+        elif key in ("stepwise_tree", "spr_tree", "svg_written"):
             out[key] = vals[0]
         elif key in ("stepwise_cost", "spr_cost"):
             out[key] = int(vals[0])
