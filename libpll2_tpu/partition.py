@@ -417,6 +417,15 @@ class Partition:
         full[:cfg.sites] = inv
         self.invariant = full
 
+    def count_invariant_sites(self) -> int:
+        """Weighted count of invariant sites (pll_count_invariant_sites,
+        models.c:546-649)."""
+        if self.invariant is None:
+            self.update_invariant_sites()
+        inv = self.invariant[:self.cfg.sites]
+        w = self.pattern_weights[:self.cfg.sites]
+        return int(np.sum(np.where(inv >= 0, w, 0)))
+
     def update_invariant_sites_proportion(self, params_index: int,
                                           prop_invar: float) -> None:
         if prop_invar < 0 or prop_invar >= 1:
