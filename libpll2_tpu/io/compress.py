@@ -62,10 +62,15 @@ def compress_site_patterns(sequences: Sequence[str], map_arr: np.ndarray,
         raise ValueError(f"cannot encode character {chr(raw[i, j])!r} at "
                          f"sequence {i + 1} position {j + 1}")
 
-    cols = enc.T                                   # [length, count]
-    patterns, inverse, weights = np.unique(
-        cols, axis=0, return_inverse=True, return_counts=True)
-    dec = inv_charmap[patterns.T]                  # [count, n_patterns]
+    from .. import native
+    if native.available():
+        inverse, weights, reps = native.compress_patterns(enc)
+        dec = inv_charmap[enc[:, reps]]            # [count, n_patterns]
+    else:
+        cols = enc.T                               # [length, count]
+        patterns, inverse, weights = np.unique(
+            cols, axis=0, return_inverse=True, return_counts=True)
+        dec = inv_charmap[patterns.T]              # [count, n_patterns]
     out = ["".join(map(chr, row)) for row in dec]
     if return_map:
         return out, weights.astype(np.uint32), inverse.astype(np.uint32)

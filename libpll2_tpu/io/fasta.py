@@ -62,10 +62,19 @@ def iter_fasta(source: Union[str, TextIO]) -> Iterator[Tuple[str, str]]:
 
 def load_fasta_msa(source: Union[str, TextIO]) -> MSA:
     """Whole-file load into an MSA; mirrors pll_fasta_load (fasta.c:328)."""
-    labels, seqs = [], []
-    for head, seq in iter_fasta(source):
-        labels.append(head)
-        seqs.append(seq)
+    labels: list[str] = []
+    seqs: list[str] = []
+    if isinstance(source, str):
+        from .. import native
+        if native.available():
+            try:
+                labels, seqs = native.fasta_load(source)
+            except ValueError as e:
+                raise FastaError(str(e)) from None
+    if not labels:
+        for head, seq in iter_fasta(source):
+            labels.append(head)
+            seqs.append(seq)
     if not seqs:
         raise FastaError("empty FASTA file")
     if any(len(s) != len(seqs[0]) for s in seqs):
