@@ -37,6 +37,12 @@ class PartitionConfig:
     rate_cats: int
     scale_buffers: int
     per_rate_scalers: bool = False
+    # PATTERN_TIP (pll.h:124): in the reference, tips stay char-encoded and
+    # kernels expand through a precomputed tip-pair lookup.  Here the
+    # functional engine (engine.py) always keeps tips as packed chars and
+    # expands on the fly (same semantics, TPU mechanism — SURVEY.md §8.3#4);
+    # the mutable Partition materializes tip CLVs into the dense tensor, so
+    # the flag is accepted for API parity but does not change its layout.
     pattern_tip: bool = False
     site_repeats: bool = False
     asc_bias: int = AB_NONE
