@@ -89,12 +89,26 @@ def measure_engine() -> tuple[float, float, int]:
     print(f"compile+first run: {time.time() - t0:.1f}s  logl={float(logl)}",
           file=sys.stderr)
 
-    t0 = time.time()
-    for _ in range(REPS):
-        logl = engine.loglikelihood(program, cfg, model, bl, tipchars,
-                                    pattern_weights, invariant)
-    jax.block_until_ready(logl)
-    dt = (time.time() - t0) / REPS
+    # REPS data-dependent iterations inside ONE jitted lax.scan: a single
+    # dispatch measures pure device time (host/tunnel RPC latency excluded,
+    # and no risk of duplicate-execution caching or overlap between
+    # independent dispatches skewing the clock)
+    @jax.jit
+    def chain(bl0):
+        def body(carry, _):
+            r = engine.loglikelihood(program, cfg, model,
+                                     bl0 * (1.0 + 1e-12 * carry),
+                                     tipchars, pattern_weights, invariant)
+            return r, r
+        last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
+        return last
+
+    jax.block_until_ready(chain(bl))            # compile
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(bl * 1.0000001))
+        dt = min(dt, (time.perf_counter() - t0) / REPS)
 
     num_ops = TIPS - 2
     updates_per_sec = num_ops * SITES / dt

@@ -51,6 +51,10 @@ class PartitionConfig:
     site_block: int = 128
     # None = auto (Pallas sweep on TPU when supported); True/False = force
     use_pallas: Any = None
+    # matmul precision inside the Pallas tree sweep: "highest" (6-pass
+    # bf16, exact-f32 quality), "high" (3-pass bf16, ~f32 quality at 2x
+    # MXU throughput), "default" (1-pass bf16 — fast mode)
+    pallas_precision: str = "highest"
 
     @property
     def num_clvs(self) -> int:

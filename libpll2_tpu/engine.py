@@ -31,6 +31,7 @@ from .ops import likelihood as likelihood_ops
 from .ops import partials as partials_ops
 from .ops import pmatrix as pmatrix_ops
 from .ops import partials_pallas
+from .ops import partials_pallas_tree
 from .partition import flatten_level_ops, levelize_operations
 from .tree import create_operations, traverse
 from .tree.utree import UTree
@@ -41,6 +42,7 @@ class TreeProgram:
     """Host-compiled static form of one topology (hashable by identity)."""
     level_ops: np.ndarray          # [L, W, 8] int32 (padded; XLA path)
     flat_ops: np.ndarray           # [OPS, 8] int32 (unpadded; Pallas path)
+    vmem_prog: Optional[partials_pallas_tree.TreeVmemProgram]
     pmatrix_indices: np.ndarray    # [E] int32: branch i -> pmatrix slot
     default_branch_lengths: np.ndarray  # [E] f64 (from the newick)
     root_clv: int
@@ -63,9 +65,15 @@ def compile_tree(tree: UTree, cfg: PartitionConfig) -> TreeProgram:
     level_ops = levelize_operations(ops, cfg)
     flat_ops = flatten_level_ops(ops, cfg)
     root = tree.vroot
+    # rows the logL/derivative reductions consume; tips are re-expanded
+    # from tipchars instead of exported
+    exports = [i for i in (root.clv_index, root.back.clv_index)
+               if i >= cfg.tips]
+    vmem_prog = partials_pallas_tree.schedule(ops, cfg.tips, exports)
     return TreeProgram(
         level_ops=level_ops,
         flat_ops=flat_ops,
+        vmem_prog=vmem_prog,
         pmatrix_indices=np.asarray(pmat_idx, dtype=np.int32),
         default_branch_lengths=np.asarray(branches, dtype=np.float64),
         root_clv=root.clv_index,
@@ -174,6 +182,18 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
     pmatrix = jnp.zeros((num_slots, R, S, S), dtype)
     pmatrix = pmatrix.at[jnp.asarray(program.pmatrix_indices)].set(pmats)
 
+    choice = partials_pallas_tree.choose(program.vmem_prog, cfg, num_slots)
+    if _use_pallas_tree(cfg, choice):
+        # VMEM-resident sweep: tips stay packed, only root rows hit HBM
+        tb, mxu = choice
+        nt = cfg.sites_padded // tb
+        tip_b = jnp.transpose(
+            tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
+        clv_rows, scal_rows = partials_pallas_tree.sweep(
+            tip_b, pmatrix, program.vmem_prog, cfg, tb, mxu=mxu)
+        return _TreeView(clv_rows, scal_rows, program.vmem_prog,
+                         tipchars, cfg), pmatrix
+
     if _use_pallas(cfg):
         # build tips DIRECTLY in the kernel's site-blocked layout
         # [N+1, NT, R, S, TB] (partials_pallas.py) — no transposes
@@ -234,6 +254,45 @@ class _BlockedView:
     def scaler_row(self, index: int):
         nt, _, tb = self._scal_b.shape[1:]
         return self._scal_b[index].reshape(nt * tb)
+
+
+class _TreeView:
+    """Row accessors over VMEM-sweep results: only exported rows exist in
+    HBM; tip rows are re-expanded from the packed bitmasks on demand."""
+
+    def __init__(self, clv_rows, scal_rows, vmem_prog, tipchars,
+                 cfg: PartitionConfig):
+        self._clv_rows = clv_rows            # [E, NT, R, S, TB]
+        self._scal_rows = scal_rows          # [E, NT, 1, TB]
+        self._prog = vmem_prog
+        self._tipchars = tipchars
+        self._cfg = cfg
+
+    def clv_row(self, index: int):
+        cfg = self._cfg
+        if index < cfg.tips:
+            tip = expand_tipchars(self._tipchars[index:index + 1],
+                                  cfg.states, cfg.dtype)[0]   # [S, T]
+            return jnp.broadcast_to(
+                tip[None], (cfg.rate_cats, cfg.states, tip.shape[-1]))
+        row = self._clv_rows[self._prog.export_clv_map[index]]
+        return partials_pallas_tree.unblock_clv_row(row)
+
+    def scaler_row(self, index: int):
+        cfg = self._cfg
+        if index in self._prog.export_scaler_map:
+            row = self._scal_rows[self._prog.export_scaler_map[index]]
+            return partials_pallas_tree.unblock_scaler_row(row)
+        return jnp.zeros(cfg.sites_padded, jnp.int32)
+
+
+def _use_pallas_tree(cfg: PartitionConfig, choice) -> bool:
+    """VMEM-resident sweep on TPU backends when the schedule + budget
+    allow it; forced off (or on, when supported) by cfg.use_pallas."""
+    ok = choice is not None
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas and ok
+    return ok and jax.default_backend() not in ("cpu",)
 
 
 def _use_pallas(cfg: PartitionConfig) -> bool:

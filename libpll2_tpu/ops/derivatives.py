@@ -25,7 +25,12 @@ Layout: sumtable [R, S, T] — site axis innermost, shardable across the mesh;
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# TPU MXU matmuls default to bf16 multiplicands for f32 operands;
+# the likelihood recursion is precision-critical, so force full f32
+HIGHEST = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..config import PartitionConfig
@@ -49,9 +54,9 @@ def update_sumtable(clvp,            # [R, S, T] parent CLV
     dtype = clvp.dtype
     lefterm = jnp.einsum("rkt,rk,rkj->rjt", clvp, freqs.astype(dtype),
                          inv_eigenvecs.astype(dtype),
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype, precision=HIGHEST)
     righterm = jnp.einsum("rjk,rkt->rjt", eigenvecs.astype(dtype), clvc,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype, precision=HIGHEST)
     sum_rjt = lefterm * righterm
 
     if (cfg.asc_bias in (AB_LEWIS, AB_FELSENSTEIN)
@@ -101,11 +106,11 @@ def likelihood_derivatives(sumtable,         # [R, S, T]
     e2 = x * x * e0
 
     cat0 = jnp.einsum("rjt,rj->rt", sumtable, e0,
-                      preferred_element_type=dtype)            # [R, T]
+                      preferred_element_type=dtype, precision=HIGHEST)            # [R, T]
     cat1 = jnp.einsum("rjt,rj->rt", sumtable, e1,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype, precision=HIGHEST)
     cat2 = jnp.einsum("rjt,rj->rt", sumtable, e2,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype, precision=HIGHEST)
 
     # +I mixing, 0th component only (core_derivatives.c:676-686)
     idx = jnp.maximum(invariant, 0)
@@ -119,9 +124,9 @@ def likelihood_derivatives(sumtable,         # [R, S, T]
     cat2 = jnp.where(has_pinv, cat2 * (1.0 - pinv)[:, None], cat2)
 
     rw = rate_weights.astype(dtype)
-    lk0 = jnp.einsum("rt,r->t", cat0, rw)
-    lk1 = jnp.einsum("rt,r->t", cat1, rw)
-    lk2 = jnp.einsum("rt,r->t", cat2, rw)
+    lk0 = jnp.einsum("rt,r->t", cat0, rw, precision=HIGHEST)
+    lk1 = jnp.einsum("rt,r->t", cat1, rw, precision=HIGHEST)
+    lk2 = jnp.einsum("rt,r->t", cat2, rw, precision=HIGHEST)
 
     live = pattern_weights > 0
     if cfg.asc_bias not in (AB_NONE, AB_STAMATAKIS):

@@ -21,7 +21,12 @@ mesh, shard T and psum the scalar (SURVEY.md §2.6).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# TPU MXU matmuls default to bf16 multiplicands for f32 operands;
+# the likelihood recursion is precision-critical, so force full f32
+HIGHEST = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..config import PartitionConfig
@@ -103,7 +108,7 @@ def root_loglikelihood(clv,              # [R, S, T]
     """
     dtype = clv.dtype
     term_r = jnp.einsum("rst,rs->rt", clv, freqs.astype(dtype),
-                        preferred_element_type=dtype)       # [R, T]
+                        preferred_element_type=dtype, precision=HIGHEST)       # [R, T]
 
     if cfg.per_rate_scalers:
         zero = jnp.zeros_like(scaler)
@@ -119,7 +124,7 @@ def root_loglikelihood(clv,              # [R, S, T]
         mixed = term_r * (1.0 - pinv)[:, None] + inv_lk * pinv[:, None]
         term_r = jnp.where((pinv > 0)[:, None], mixed, term_r)
 
-    term = jnp.einsum("rt,r->t", term_r, rate_weights.astype(dtype))  # [T]
+    term = jnp.einsum("rt,r->t", term_r, rate_weights.astype(dtype), precision=HIGHEST)  # [T]
 
     live = pattern_weights > 0
     if cfg.asc_bias != AB_NONE:
@@ -157,9 +162,9 @@ def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
     """
     dtype = clvp.dtype
     termb = jnp.einsum("rjk,rkt->rjt", pmat.astype(dtype), clvc,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype, precision=HIGHEST)
     terma_r = jnp.einsum("rjt,rj,rjt->rt", clvp, freqs.astype(dtype), termb,
-                         preferred_element_type=dtype)       # [R, T]
+                         preferred_element_type=dtype, precision=HIGHEST)       # [R, T]
 
     if cfg.per_rate_scalers:
         site_scalings, undo = _per_rate_undo(scaler_p, scaler_c, cfg, dtype)
@@ -172,8 +177,8 @@ def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
     inv_lk = _invariant_site_lk(freqs.astype(dtype), invariant)   # [R, T]
 
     # variant part gets (1-p); invariant part accumulates separately
-    terma = jnp.einsum("rt,r->t", terma_r * (1.0 - pinv)[:, None], rw)
-    terminv = jnp.einsum("rt,r->t", inv_lk * pinv[:, None], rw)
+    terma = jnp.einsum("rt,r->t", terma_r * (1.0 - pinv)[:, None], rw, precision=HIGHEST)
+    terminv = jnp.einsum("rt,r->t", inv_lk * pinv[:, None], rw, precision=HIGHEST)
 
     # site log-likelihood; three cases (core_likelihood.c:1462-1481)
     log_thresh = jnp.asarray(cfg.log_scale_threshold, dtype)
@@ -234,12 +239,12 @@ def node_ancestral(clv_node,         # [R, S, T] CLV toward the edge
     """
     dtype = cfg.dtype
     combined = clv_node * jnp.einsum("rij,rjt->rit", pmat, clv_other,
-                                     preferred_element_type=dtype)
+                                     preferred_element_type=dtype, precision=HIGHEST)
     if cfg.per_rate_scalers:
         _, undo = _per_rate_undo(scaler_node, scaler_other, cfg, dtype)
         combined = combined * undo[:, None, :]
     weighted = jnp.einsum("r,rs,rst->ts", rate_weights.astype(dtype),
-                          freqs.astype(dtype), combined)
+                          freqs.astype(dtype), combined, precision=HIGHEST)
     total = jnp.sum(weighted, axis=1, keepdims=True)
     return jnp.where(total > 0, weighted / jnp.where(total > 0, total, 1.0),
                      0.0)

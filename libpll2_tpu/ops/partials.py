@@ -31,6 +31,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU MXU matmuls default to bf16 multiplicands for f32 operands;
+# the likelihood recursion is precision-critical, so force full f32
+HIGHEST = jax.lax.Precision.HIGHEST
+
 from ..config import PartitionConfig
 
 # Column layout of an operation row (host-compiled; see tree/utree.py):
@@ -60,9 +64,9 @@ def _level_update(clv, scalers, pmatrix, ops, cfg: PartitionConfig):
     p2 = pmatrix[ops[:, OP_CHILD2_MAT]]
 
     left = jnp.einsum("wrij,wrjt->writ", p1, c1,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype, precision=HIGHEST)
     right = jnp.einsum("wrij,wrjt->writ", p2, c2,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype, precision=HIGHEST)
     parent = left * right                     # [W, R, S, T]
 
     thresh = jnp.asarray(cfg.scale_threshold, dtype)
@@ -125,9 +129,9 @@ def _level_update_gather(clv, scalers, pmatrix, ops, gathers,
     p2 = pmatrix[ops[:, OP_CHILD2_MAT]]
 
     left = jnp.einsum("wrij,wrjt->writ", p1, c1,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype, precision=HIGHEST)
     right = jnp.einsum("wrij,wrjt->writ", p2, c2,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype, precision=HIGHEST)
     parent = left * right
 
     thresh = jnp.asarray(cfg.scale_threshold, dtype)

@@ -1,0 +1,453 @@
+"""VMEM-resident Pallas tree sweep — the fastest CLV path.
+
+The streaming kernel (partials_pallas.py) is HBM-bound: every operation
+moves (2 reads + 1 write) x R x S x T x 4B through HBM, because each CLV
+row round-trips to HBM between levels.  But the Felsenstein recursion
+(reference libpll-2 src/core_partials.c:612-765) over ONE site block is a
+tree-structured expression whose live set, under Sethi–Ullman evaluation
+order, is O(depth) slabs — a few hundred KB.  So the whole traversal for a
+site block fits in VMEM:
+
+  * grid = (NT, OPS): site-block outermost, operation innermost.  Within a
+    block, every inner CLV slab [R, S, TB] lives in a VMEM slot pool;
+    slots are assigned host-side (schedule()) by a register-allocation
+    pass that orders each node's heavier subtree first and recycles slots
+    the moment a child is consumed.  Max pool size is O(log n) for any
+    binary tree, asserted against the VMEM budget.
+  * Tips never materialize as CLVs in HBM at all: the packed state
+    bitmasks ([tips, NT, TB] int32 — 4B/site instead of R*S*4B/site) are
+    auto-pipelined into VMEM once per block and bit-expanded to 0/1
+    CLVs in registers (pll.c:959-1024 semantics, SURVEY.md §8.3#4).
+  * P-matrices ([P, R, S, S], a few hundred KB) are VMEM-resident for the
+    whole sweep.
+  * Only rows a consumer needs (the root edge's CLVs + scalers for the
+    logL / derivative reductions) are DMA'd back to HBM, once per block.
+
+HBM traffic: tips x NT x TB x 4B + exports — ~100x less than streaming.
+Underflow rescue (counters, pll.h:96-104) is identical to the other
+kernels: per-site all-below-threshold test, parent counter = left + right
++ rescue, carried in an int32 slot pool.
+
+f32/bf16 only (TPU has no f64); the f64 parity path stays on XLA.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PartitionConfig
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+OP_COLS = 9
+# columns: 0 parent_slot, 1 c1_tip_idx, 2 c1_slot, 3 c1_is_tip,
+#          4 c2_tip_idx, 5 c2_slot, 6 c2_is_tip, 7 pmatrix1, 8 pmatrix2
+
+VMEM_BUDGET = 96 * 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash (jit static)
+class TreeVmemProgram:
+    """Host-compiled slot-allocated schedule of one tree traversal."""
+    ops: np.ndarray                    # [OPS, 9] int32
+    pool_size: int
+    exports: tuple                     # ((op_index, slot), ...) row-ordered
+    export_clv_map: dict               # clv_index -> export row
+    export_scaler_map: dict            # scaler_index -> export row
+
+    @property
+    def n_ops(self) -> int:
+        return self.ops.shape[0]
+
+
+def schedule(ops: Sequence, tips: int, export_clvs: Sequence[int]
+             ) -> Optional[TreeVmemProgram]:
+    """Sethi–Ullman slot allocation over an operation forest.
+
+    ops: partition.Operation list (any topological order).  Returns None
+    when the list is not a forest (a CLV written twice, or a child that is
+    neither a tip nor produced here — e.g. partial traversals), in which
+    case callers fall back to a streaming path.
+    """
+    producer = {}
+    for i, op in enumerate(ops):
+        if op.parent_clv_index in producer:
+            return None
+        producer[op.parent_clv_index] = op
+    if not producer:
+        return None
+
+    refcount: dict[int, int] = {}
+    for op in ops:
+        for c in (op.child1_clv_index, op.child2_clv_index):
+            if c >= tips:
+                if c not in producer:
+                    return None
+                refcount[c] = refcount.get(c, 0) + 1
+
+    exports = [c for c in dict.fromkeys(export_clvs) if c in producer]
+    roots = [p for p in producer if refcount.get(p, 0) == 0]
+
+    # need(): minimum live slots to evaluate a subtree (heavier child first)
+    need: dict[int, int] = {}
+    for root in roots:
+        stack = [(root, False)]
+        while stack:
+            node, seen = stack.pop()
+            if node < tips or node in need:
+                continue
+            op = producer[node]
+            kids = [c for c in (op.child1_clv_index, op.child2_clv_index)
+                    if c >= tips]
+            if not seen:
+                stack.append((node, True))
+                stack.extend((k, False) for k in kids)
+            else:
+                ns = sorted((need[k] for k in kids), reverse=True)
+                if len(ns) == 0:
+                    need[node] = 1
+                elif len(ns) == 1:
+                    need[node] = max(ns[0], 2)  # child held + parent slot
+                else:
+                    inner = max(ns[0], ns[1] + 1)
+                    need[node] = max(inner, 3)  # both held + parent slot
+
+    no_free = set(exports)
+    slot_of: dict[int, int] = {}
+    free: list[int] = []
+    next_slot = 0
+    rows: list[list[int]] = []
+    export_pos: dict[int, tuple[int, int]] = {}  # clv -> (op_index, slot)
+    live_ref = dict(refcount)
+
+    def alloc() -> int:
+        nonlocal next_slot
+        if free:
+            return free.pop()
+        s = next_slot
+        next_slot += 1
+        return s
+
+    for root in roots:
+        stack = [(root, False)]
+        while stack:
+            node, seen = stack.pop()
+            if node < tips:
+                continue
+            op = producer[node]
+            kids = [c for c in (op.child1_clv_index, op.child2_clv_index)
+                    if c >= tips]
+            if not seen:
+                stack.append((node, True))
+                # push lighter child first so the heavier pops (runs) first
+                for k in sorted(kids, key=lambda k: need[k]):
+                    stack.append((k, False))
+                continue
+            # children evaluated; emit this op.  Parent gets a FRESH slot
+            # (never a child's: the kernel writes the parent slab while
+            # child slabs may still back in-flight reads).
+            p_slot = alloc()
+            slot_of[node] = p_slot
+
+            def enc(c):
+                if c < tips:
+                    return [c, 0, 1]
+                return [0, slot_of[c], 0]
+
+            rows.append([p_slot]
+                        + enc(op.child1_clv_index)
+                        + enc(op.child2_clv_index)
+                        + [op.child1_matrix_index, op.child2_matrix_index])
+            if node in no_free:
+                export_pos[node] = (len(rows) - 1, p_slot)
+            for c in kids:
+                live_ref[c] -= 1
+                if live_ref[c] == 0 and c not in no_free:
+                    free.append(slot_of[c])
+
+    export_clv_map = {}
+    export_scaler_map = {}
+    export_list = []
+    for row, clv in enumerate(exports):
+        export_clv_map[clv] = row
+        sidx = producer[clv].parent_scaler_index
+        if sidx is not None and sidx >= 0:
+            export_scaler_map[sidx] = row
+        export_list.append(export_pos[clv])
+
+    return TreeVmemProgram(
+        ops=np.asarray(rows, dtype=np.int32).reshape(len(rows), OP_COLS),
+        pool_size=next_slot,
+        exports=tuple(export_list),
+        export_clv_map=export_clv_map,
+        export_scaler_map=export_scaler_map,
+    )
+
+
+def vmem_bytes(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
+               num_pmatrices: int, mxu: bool) -> int:
+    """Estimated VMEM footprint of the kernel at site-block size tb."""
+    itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
+    span = cfg.rate_cats * cfg.states
+    pool = prog.pool_size * span * tb * itemsize
+    spool = prog.pool_size * tb * 4
+    tipblk = 2 * cfg.tips * tb * 4                      # double-buffered
+    if mxu:
+        pmat = num_pmatrices * span * span * itemsize
+    else:
+        pmat = num_pmatrices * cfg.rate_cats * cfg.states ** 2 * itemsize
+    return pool + spool + tipblk + pmat + (1 << 20)
+
+
+def pick_site_block(prog: TreeVmemProgram, cfg: PartitionConfig,
+                    num_pmatrices: int, mxu: bool,
+                    target: int = 65536) -> int:
+    """Largest multiple-of-128 block <= target dividing sites_padded that
+    fits the VMEM budget; 0 if none does."""
+    best = 0
+    for tb in range(128, min(target, cfg.sites_padded) + 1, 128):
+        if cfg.sites_padded % tb:
+            continue
+        if vmem_bytes(prog, cfg, tb, num_pmatrices, mxu) <= VMEM_BUDGET:
+            best = tb
+    return best
+
+
+def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
+           num_pmatrices: int) -> Optional[tuple]:
+    """Pick (site_block, mxu) for the kernel, or None if unsupported.
+
+    MXU mode (rate-block-diagonal matmuls) is preferred whenever the
+    block-diagonal P tensor fits comfortably; otherwise the VPU
+    broadcast-fma form."""
+    if prog is None or prog.n_ops == 0:
+        return None
+    if cfg.per_rate_scalers:
+        return None
+    if cfg.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    span = cfg.rate_cats * cfg.states
+    itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
+    if num_pmatrices * span * span * itemsize <= 24 * 1024 * 1024:
+        tb = pick_site_block(prog, cfg, num_pmatrices, mxu=True)
+        if tb >= 128:
+            return tb, True
+    tb = pick_site_block(prog, cfg, num_pmatrices, mxu=False)
+    if tb >= 128:
+        return tb, False
+    return None
+
+
+def supported(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
+              num_pmatrices: int) -> bool:
+    return choose(prog, cfg, num_pmatrices) is not None
+
+
+def _tree_kernel(ops_ref,                     # [OPS, 9] (scalar prefetch)
+                 pmat_ref,                    # MXU: [P, R*S, R*S] blockdiag
+                 tip_ref,                     # [1, tips, TB] VMEM (per block)
+                 clv_out, scal_out,           # HBM outputs (manual DMA)
+                 pool, spool, exp_sems,
+                 *, n_ops: int, states: int, rates: int,
+                 thresh: float, factor: float,
+                 exports: tuple, mxu: bool, precision):
+    t = pl.program_id(0)
+    w = pl.program_id(1)
+    dtype = pool.dtype
+    tb = tip_ref.shape[-1]
+    span = rates * states
+
+    p1 = pmat_ref[ops_ref[w, 7]]              # [RS, RS] | [R, S, S]
+    p2 = pmat_ref[ops_ref[w, 8]]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (states, tb), 0)
+
+    def child(tip_col, slot_col, flag_col):
+        is_tip = ops_ref[w, flag_col] != 0
+        tiprow = tip_ref[0, ops_ref[w, tip_col]]          # [TB] int32
+        bits = ((tiprow[None, :] >> iota) & 1).astype(dtype)
+        cin = pool[ops_ref[w, slot_col]]                  # [RS|R,S, TB]
+        sin = spool[ops_ref[w, slot_col]]                 # [1, TB]
+        if mxu:
+            tipc = jnp.broadcast_to(bits[None],
+                                    (rates, states, tb)).reshape(span, tb)
+            c = jnp.where(is_tip, tipc, cin)              # [RS, TB]
+        else:
+            c = jnp.where(is_tip, bits[None], cin)        # [R, S, TB]
+        s = jnp.where(is_tip, jnp.zeros_like(sin), sin)
+        return c, s
+
+    c1, s1 = child(1, 2, 3)
+    c2, s2 = child(4, 5, 6)
+
+    if mxu:
+        # rate-block-diagonal P keeps the propagation a single 2-D matmul
+        # per child -> MXU (systolic array), which otherwise idles: the
+        # sweep has no other matmul-shaped work
+        dn = (((1,), (0,)), ((), ()))
+        left = jax.lax.dot_general(p1, c1, dn, precision=precision,
+                                   preferred_element_type=dtype)
+        right = jax.lax.dot_general(p2, c2, dn, precision=precision,
+                                    preferred_element_type=dtype)
+        parent = left * right                             # [RS, TB]
+        mask = jnp.max(parent, axis=0, keepdims=True) < thresh  # [1, TB]
+        parent = jnp.where(mask, parent * factor, parent)
+        snew = s1 + s2 + mask.astype(jnp.int32)
+    else:
+        left = p1[:, :, 0:1] * c1[:, 0:1, :]
+        right = p2[:, :, 0:1] * c2[:, 0:1, :]
+        for j in range(1, states):
+            left += p1[:, :, j:j + 1] * c1[:, j:j + 1, :]
+            right += p2[:, :, j:j + 1] * c2[:, j:j + 1, :]
+        parent = left * right                             # [R, S, TB]
+
+        # all(parent < thresh) == max(parent) < thresh (f32 max-reduce:
+        # Mosaic rejects multi-axis bool reductions under some configs)
+        mask = jnp.max(parent, axis=(0, 1), keepdims=True) < thresh
+        parent = jnp.where(mask, parent * factor, parent)
+        snew = s1 + s2 + mask[0].astype(jnp.int32)
+
+    p_slot = ops_ref[w, 0]
+    pool[p_slot] = parent
+    spool[p_slot] = snew
+
+    def exp_copies(e, slot):
+        # static python ints promote to i64 under jax_enable_x64, which the
+        # Mosaic memref_slice verifier rejects — pin every index to i32
+        e32, s32 = jnp.int32(e), jnp.int32(slot)
+        zero, one = jnp.int32(0), jnp.int32(1)
+        return (pltpu.make_async_copy(pool.at[s32], clv_out.at[e32, t],
+                                      exp_sems.at[e32, zero]),
+                pltpu.make_async_copy(spool.at[s32], scal_out.at[e32, t],
+                                      exp_sems.at[e32, one]))
+
+    for e, (op_idx, slot) in enumerate(exports):
+        @pl.when(w == op_idx)
+        def _start(e=e, op_idx=op_idx, slot=slot):
+            for c in exp_copies(e, slot):
+                c.start()
+
+    @pl.when(w == n_ops - 1)
+    def _drain():
+        for e, (op_idx, slot) in enumerate(exports):
+            for c in exp_copies(e, slot):
+                c.wait()
+
+
+def _block_diag_pmatrix(pmatrix, dtype):
+    """[P, R, S, S] -> [P, R*S, R*S] with per-rate blocks on the diagonal."""
+    P, R, S, _ = pmatrix.shape
+    eye = jnp.eye(R, dtype=dtype)                         # [R, R]
+    # out[p, r*S+i, q*S+j] = pmatrix[p, r, i, j] * (r == q)
+    out = jnp.einsum("prij,rq->priqj", pmatrix, eye, precision=HIGHEST)
+    return out.reshape(P, R * S, R * S)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("prog", "cfg", "tb", "mxu", "interpret"))
+def sweep(tip_blocked, pmatrix, prog: TreeVmemProgram, cfg: PartitionConfig,
+          tb: int, mxu: bool = False, interpret: bool = False):
+    """Run the VMEM-resident sweep.
+
+    tip_blocked: [NT, tips, TB] int32 packed state bitmasks (block-major so
+                 each per-block fetch is one full-tile slab)
+    pmatrix:     [P, R, S, S]
+    Returns (clv_rows [E, NT, R, S, TB], scaler_rows [E, NT, 1, TB] int32)
+    for the E exported rows (prog.export_clv_map order).
+    """
+    nt, tips, tb_in = tip_blocked.shape
+    assert tb_in == tb and nt * tb == cfg.sites_padded
+    R, S = cfg.rate_cats, cfg.states
+    span = R * S
+    n_exp = len(prog.exports)
+
+    kernel = functools.partial(
+        _tree_kernel, n_ops=prog.n_ops, states=S, rates=R,
+        thresh=cfg.scale_threshold, factor=cfg.scale_factor,
+        exports=prog.exports, mxu=mxu,
+        precision=PRECISIONS[cfg.pallas_precision])
+
+    P = pmatrix.shape[0]
+    if mxu:
+        pmat_in = _block_diag_pmatrix(pmatrix, cfg.dtype)
+        pmat_spec = pl.BlockSpec((P, span, span),
+                                 lambda t, w, ops: (jnp.int32(0),) * 3,
+                                 memory_space=pltpu.VMEM)
+        pool_shape = (prog.pool_size, span, tb)
+        clv_shape = (n_exp, nt, span, tb)
+    else:
+        pmat_in = pmatrix
+        pmat_spec = pl.BlockSpec((P, R, S, S),
+                                 lambda t, w, ops: (jnp.int32(0),) * 4,
+                                 memory_space=pltpu.VMEM)
+        pool_shape = (prog.pool_size, R, S, tb)
+        clv_shape = (n_exp, nt, R, S, tb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, prog.n_ops),
+        in_specs=[
+            # index maps return jnp.int32: python-int constants trace to
+            # i64 under jax_enable_x64 and fail Mosaic legalization
+            pmat_spec,
+            pl.BlockSpec((1, tips, tb),
+                         lambda t, w, ops: (t, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(pool_shape, cfg.dtype),
+            pltpu.VMEM((prog.pool_size, 1, tb), jnp.int32),
+            pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
+        ],
+    )
+
+    clv_rows, scal_rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(clv_shape, cfg.dtype),
+            jax.ShapeDtypeStruct((n_exp, nt, 1, tb), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=prog.n_ops * nt * R * S * tb * (4 * S + 1),
+            bytes_accessed=tips * nt * tb * 4
+            + n_exp * nt * R * S * tb * np.dtype(cfg.dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(prog.ops, pmat_in, tip_blocked)
+    if mxu:
+        clv_rows = clv_rows.reshape(n_exp, nt, R, S, tb)
+    return clv_rows, scal_rows
+
+
+def unblock_clv_row(row_blocked):
+    """[NT, R, S, TB] -> [R, S, NT*TB]."""
+    nt, R, S, tb = row_blocked.shape
+    return jnp.transpose(row_blocked, (1, 2, 0, 3)).reshape(R, S, nt * tb)
+
+
+def unblock_scaler_row(row_blocked):
+    """[NT, 1, TB] -> [NT*TB]."""
+    nt, _, tb = row_blocked.shape
+    return row_blocked.reshape(nt * tb)

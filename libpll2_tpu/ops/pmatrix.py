@@ -16,7 +16,12 @@ M = rate matrices.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# TPU MXU matmuls default to bf16 multiplicands for f32 operands;
+# the likelihood recursion is precision-critical, so force full f32
+HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def compute_pmatrices(branch_lengths,      # [E] f
@@ -43,7 +48,7 @@ def compute_pmatrices(branch_lengths,      # [E] f
     # temp[e,r,j,k] = inv_evecs[r,j,k] * expd[e,r,k];  P = I + temp @ evecs
     temp = inv_evecs[None, :, :, :] * expd[:, :, None, :]
     pmat = jnp.einsum("erjm,rmk->erjk", temp, evecs.astype(dtype),
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype, precision=HIGHEST)
     states = evals.shape[-1]
     eye = jnp.eye(states, dtype=dtype)
     pmat = pmat + eye[None, None, :, :]

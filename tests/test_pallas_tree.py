@@ -1,0 +1,159 @@
+"""VMEM-resident Pallas tree sweep (interpret mode) must agree with the XLA
+einsum path on the exported root rows — the kernel-variant parity matrix of
+the reference (test/runtest.py) applied to the fastest TPU path."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import libpll2_tpu as pll
+from libpll2_tpu import engine
+from libpll2_tpu import tree as T
+from libpll2_tpu.config import PartitionConfig
+from libpll2_tpu.ops import partials as partials_ops
+from libpll2_tpu.ops import partials_pallas_tree as ppt
+from libpll2_tpu.ops import pmatrix as pmatrix_ops
+
+from .test_parity_tree import random_newick, random_seqs
+
+
+def caterpillar_newick(n):
+    s = "(t0:0.1,t1:0.2)"
+    for i in range(2, n - 2):
+        s = f"({s}:0.05,t{i}:0.1)"
+    return f"({s}:0.05,t{n-2}:0.1,t{n-1}:0.1);"
+
+
+def build(newick, sites, seed, rate_cats=4, scale_heavy=False):
+    rng = np.random.default_rng(seed)
+    tree = T.parse_newick_string(newick)
+    n_tips = tree.tip_count
+    seqs = random_seqs(n_tips, sites, rng)
+    cfg = PartitionConfig(
+        tips=n_tips, clv_buffers=tree.inner_count, states=4, sites=sites,
+        rate_matrices=1, prob_matrices=2 * n_tips - 3, rate_cats=rate_cats,
+        scale_buffers=tree.inner_count, dtype=jnp.float32)
+    program = engine.compile_tree(tree, cfg)
+    assert program.vmem_prog is not None
+    model = engine.make_model(
+        [[1.2, 2.1, 0.7, 1.3, 2.5, 1.0]], [[0.3, 0.25, 0.2, 0.25]],
+        pll.compute_gamma_cats(0.8, rate_cats), dtype=jnp.float32)
+
+    raw = np.zeros((n_tips, cfg.sites_alloc), dtype=np.uint64)
+    for i, s in enumerate(seqs):
+        raw[i] = pll.MAP_NT[np.frombuffer(s.encode(), np.uint8)]
+    tipchars = jnp.asarray(engine.pad_tipchars(raw, cfg))
+
+    bl = program.default_branch_lengths * (30.0 if scale_heavy else 1.0)
+    num_slots = int(program.pmatrix_indices.max()) + 1
+    pmats = jnp.zeros((num_slots, rate_cats, 4, 4), jnp.float32)
+    new = pmatrix_ops.compute_pmatrices(
+        jnp.asarray(bl, jnp.float32), model.eigenvals, model.eigenvecs,
+        model.inv_eigenvecs, model.rates, model.prop_invar,
+        model.params_indices, dtype=jnp.float32)
+    pmats = pmats.at[jnp.asarray(program.pmatrix_indices)].set(new)
+    return tree, cfg, program, tipchars, pmats
+
+
+def run_xla(cfg, program, tipchars, pmats):
+    R, S, Tp = cfg.rate_cats, cfg.states, cfg.sites_padded
+    tip_clv = engine.expand_tipchars(tipchars, S, jnp.float32)
+    clv0 = jnp.zeros((cfg.num_clvs + 1, R, S, Tp), jnp.float32)
+    clv0 = clv0.at[:cfg.tips].set(
+        jnp.broadcast_to(tip_clv[:, None], (cfg.tips, R, S, Tp)))
+    scal0 = jnp.zeros((cfg.scale_buffers + 2, Tp), jnp.int32)
+    return partials_ops.update_partials(
+        clv0, scal0, pmats, jnp.asarray(program.level_ops), cfg)
+
+
+def run_vmem(cfg, program, tipchars, pmats, tb=128):
+    prog = program.vmem_prog
+    nt = cfg.sites_padded // tb
+    tip_b = jnp.transpose(tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
+    clv_rows, scal_rows = ppt.sweep(tip_b, pmats, prog, cfg, tb,
+                                    interpret=True)
+    return prog, clv_rows, scal_rows
+
+
+@pytest.mark.parametrize("n_tips,sites,seed", [
+    (8, 256, 0),
+    (24, 384, 1),
+    (40, 512, 2),
+])
+def test_vmem_matches_xla(n_tips, sites, seed):
+    rng = np.random.default_rng(seed)
+    newick = random_newick(n_tips, rng)
+    tree, cfg, program, tipchars, pmats = build(newick, sites, seed)
+    clv_x, scal_x = run_xla(cfg, program, tipchars, pmats)
+    prog, clv_rows, scal_rows = run_vmem(cfg, program, tipchars, pmats)
+    for clv_idx, row in prog.export_clv_map.items():
+        got = np.asarray(ppt.unblock_clv_row(clv_rows[row]))
+        np.testing.assert_allclose(got, np.asarray(clv_x[clv_idx]),
+                                   rtol=1e-6, atol=0)
+    for scal_idx, row in prog.export_scaler_map.items():
+        got = np.asarray(ppt.unblock_scaler_row(scal_rows[row]))
+        np.testing.assert_array_equal(got, np.asarray(scal_x[scal_idx]))
+
+
+def test_vmem_scaling_fires():
+    rng = np.random.default_rng(7)
+    newick = random_newick(48, rng)
+    tree, cfg, program, tipchars, pmats = build(newick, 256, 7,
+                                                scale_heavy=True)
+    clv_x, scal_x = run_xla(cfg, program, tipchars, pmats)
+    assert int(np.asarray(scal_x[:cfg.scale_buffers]).max()) > 0
+    prog, clv_rows, scal_rows = run_vmem(cfg, program, tipchars, pmats)
+    for scal_idx, row in prog.export_scaler_map.items():
+        got = np.asarray(ppt.unblock_scaler_row(scal_rows[row]))
+        np.testing.assert_array_equal(got, np.asarray(scal_x[scal_idx]))
+    for clv_idx, row in prog.export_clv_map.items():
+        got = np.asarray(ppt.unblock_clv_row(clv_rows[row]))
+        np.testing.assert_allclose(got, np.asarray(clv_x[clv_idx]),
+                                   rtol=1e-6, atol=0)
+
+
+def test_vmem_caterpillar_pool_small():
+    """Sethi–Ullman allocation keeps the slot pool tiny on pathological
+    topologies (caterpillar: O(1); balanced: O(log n)).  On a depth-62
+    chain the f32 rescue decision can flip at sites whose CLV sits within
+    an ulp of the threshold — CLV×2^k and scaler+k compensate exactly — so
+    the parity check compares SCALING-COMPENSATED values (the quantity the
+    corrected log-likelihood consumes, core_likelihood.c:196-198)."""
+    tree, cfg, program, tipchars, pmats = build(caterpillar_newick(64),
+                                                256, 3)
+    assert program.vmem_prog.pool_size <= 4
+    clv_x, scal_x = run_xla(cfg, program, tipchars, pmats)
+    prog, clv_rows, scal_rows = run_vmem(cfg, program, tipchars, pmats)
+    producer = {}
+    from libpll2_tpu.tree import create_operations, traverse
+    ops, _, _ = create_operations(traverse(tree.vroot))
+    for op in ops:
+        producer[op.parent_clv_index] = op.parent_scaler_index
+    for clv_idx, row in prog.export_clv_map.items():
+        got = np.asarray(ppt.unblock_clv_row(clv_rows[row])).astype(
+            np.float64)
+        want = np.asarray(clv_x[clv_idx]).astype(np.float64)
+        srow = producer[clv_idx]
+        sg = np.asarray(ppt.unblock_scaler_row(
+            scal_rows[prog.export_scaler_map[srow]])).astype(np.float64)
+        sw = np.asarray(scal_x[srow]).astype(np.float64)
+        got *= 2.0 ** (-30.0 * sg)[None, None, :]
+        want *= 2.0 ** (-30.0 * sw)[None, None, :]
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=0)
+
+
+def test_schedule_rejects_non_forest():
+    from libpll2_tpu.partition import Operation
+    # child 5 never produced and not a tip -> partial traversal -> None
+    ops = [Operation(6, 0, 5, 0, 1, 0, -1, -1)]
+    assert ppt.schedule(ops, tips=4, export_clvs=[6]) is None
+
+
+def test_balanced_pool_logarithmic():
+    from libpll2_tpu.tree.generate import balanced_newick
+    tree = T.parse_newick_string(balanced_newick(256))
+    cfg = PartitionConfig(
+        tips=256, clv_buffers=tree.inner_count, states=4, sites=256,
+        rate_matrices=1, prob_matrices=509, rate_cats=4,
+        scale_buffers=tree.inner_count, dtype=jnp.float32)
+    program = engine.compile_tree(tree, cfg)
+    assert program.vmem_prog.pool_size <= 12
