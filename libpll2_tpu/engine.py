@@ -387,6 +387,291 @@ def optimize_root_branch(program: TreeProgram, cfg: PartitionConfig,
     return new_bl, logl
 
 
+# --------------------------------------------------------------------------
+# Bidirectional message passing + batched branch-length optimization
+# --------------------------------------------------------------------------
+#
+# The reference library optimizes ONE branch at a time (sumtable + Newton,
+# examples/newton/newton.c) and leaves the all-branches loop to clients
+# (RAxML-NG's smoothing).  TPU-native re-design: every *directed* message
+# msg(u->v) — the CLV of node u in the direction of neighbor v — is the
+# same binary operation as a CLV update, so one level-batched sweep over an
+# extended operation list computes ALL 2E directional CLVs; then every
+# branch has both facing CLVs available and all E Newton optimizations run
+# on device in one scan.
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class FullTreeProgram:
+    """All-directions message program for one topology."""
+    cfg_ext: PartitionConfig        # row space extended to message slots
+    level_ops: np.ndarray           # [L, W, 8] int32
+    pmatrix_indices: np.ndarray     # [E] branch i -> pmatrix slot
+    default_branch_lengths: np.ndarray
+    edge_rows: np.ndarray           # [E, 4] int32: rowA, scalA, rowB, scalB
+    edge_colors: np.ndarray         # [E] int32 proper edge coloring
+    n_colors: int
+    root_edge: int                  # branch position of the vroot edge
+    tip_count: int
+
+
+def compile_tree_full(tree: UTree, cfg: PartitionConfig) -> FullTreeProgram:
+    """Compile msg(u->v) for every half-node g at an inner node u, where
+    msg rows live after the tip rows; tips' messages are their tip CLVs."""
+    from .partition import Operation
+    from .tree.utree import UNode  # noqa: F401  (typing only)
+
+    inner = [n for n in tree.nodes if n.next is not None]
+    half_nodes = [g for n in inner for g in n.roundabout()]
+    msg_row = {g.node_index: cfg.tips + k
+               for k, g in enumerate(half_nodes)}
+    msg_scaler = {g.node_index: k for k, g in enumerate(half_nodes)}
+    n_msgs = len(half_nodes)
+
+    cfg_ext = dataclasses.replace(cfg, clv_buffers=n_msgs,
+                                  scale_buffers=n_msgs)
+
+    def incoming(s):  # message arriving through half-node s (from s.back)
+        if s.back.next is None:     # tip neighbor
+            return s.back.clv_index, -1
+        return msg_row[s.back.node_index], msg_scaler[s.back.node_index]
+
+    # Kahn ordering: a message is ready once its two feeding messages are
+    ready = {g.node_index: False for g in half_nodes}
+    ops = []
+    emitted = 0
+    while emitted < n_msgs:
+        progress = False
+        for g in half_nodes:
+            if ready[g.node_index]:
+                continue
+            sibs = [s for s in g.roundabout() if s is not g]
+            deps = [s for s in sibs if s.back.next is not None]
+            if any(not ready[s.back.node_index] for s in deps):
+                continue
+            (c1, s1), (c2, s2) = incoming(sibs[0]), incoming(sibs[1])
+            ops.append(Operation(
+                parent_clv_index=msg_row[g.node_index],
+                child1_clv_index=c1, child2_clv_index=c2,
+                child1_matrix_index=sibs[0].back.pmatrix_index,
+                child2_matrix_index=sibs[1].back.pmatrix_index,
+                parent_scaler_index=msg_scaler[g.node_index],
+                child1_scaler_index=s1, child2_scaler_index=s2))
+            ready[g.node_index] = True
+            emitted += 1
+            progress = True
+        assert progress, "cyclic message dependencies (corrupt tree)"
+
+    level_ops = levelize_operations(ops, cfg_ext)
+
+    # branch list in the same order as compile_tree's pmatrix_indices
+    trav = traverse(tree.vroot)
+    _, branches, pmat_idx = create_operations(trav)
+    by_pmatrix = {}
+    seen = set()
+    for n in tree.nodes:
+        for g in ([n] if n.next is None else list(n.roundabout())):
+            key = tuple(sorted((g.node_index, g.back.node_index)))
+            if key in seen:
+                continue
+            seen.add(key)
+            by_pmatrix[g.back.pmatrix_index] = g
+
+    edge_rows = np.zeros((len(pmat_idx), 4), np.int32)
+    for i, p in enumerate(pmat_idx):
+        g = by_pmatrix[p]
+        a, sa = ((msg_row[g.node_index], msg_scaler[g.node_index])
+                 if g.next is not None else (g.clv_index, -1))
+        h = g.back
+        b, sb = ((msg_row[h.node_index], msg_scaler[h.node_index])
+                 if h.next is not None else (h.clv_index, -1))
+        edge_rows[i] = (a, cfg_ext.scaler_zero if sa < 0 else sa,
+                        b, cfg_ext.scaler_zero if sb < 0 else sb)
+
+    # proper edge coloring (greedy; <= 4 colors on a binary tree): colors
+    # partition the branches into sets with no shared endpoint, so a
+    # simultaneous Newton step within one color class behaves like the
+    # sequential smoothing loops of the reference's clients
+    colors = np.full(len(pmat_idx), -1, np.int32)
+    used_at: dict[int, set] = {}
+    for i, p in enumerate(pmat_idx):
+        g = by_pmatrix[p]
+        a = min(h.node_index for h in ([g] if g.next is None
+                                       else list(g.roundabout())))
+        b = min(h.node_index for h in ([g.back] if g.back.next is None
+                                       else list(g.back.roundabout())))
+        taken = used_at.get(a, set()) | used_at.get(b, set())
+        c = 0
+        while c in taken:
+            c += 1
+        colors[i] = c
+        used_at.setdefault(a, set()).add(c)
+        used_at.setdefault(b, set()).add(c)
+
+    root_edge = int(np.nonzero(
+        np.asarray(pmat_idx) == tree.vroot.pmatrix_index)[0][0])
+    return FullTreeProgram(
+        cfg_ext=cfg_ext,
+        level_ops=level_ops,
+        pmatrix_indices=np.asarray(pmat_idx, np.int32),
+        default_branch_lengths=np.asarray(branches, np.float64),
+        edge_rows=edge_rows,
+        edge_colors=colors,
+        n_colors=int(colors.max()) + 1,
+        root_edge=root_edge,
+        tip_count=tree.tip_count,
+    )
+
+
+def _sweep_all(program: FullTreeProgram, cfg: PartitionConfig, model: Model,
+               branch_lengths, tipchars):
+    """Compute all directional messages; returns (clv, scalers, pmatrix)."""
+    cfg_ext = program.cfg_ext
+    dtype = cfg.dtype
+    R, S, T = cfg.rate_cats, cfg.states, tipchars.shape[-1]
+
+    pmats = pmatrix_ops.compute_pmatrices(
+        branch_lengths, model.eigenvals, model.eigenvecs,
+        model.inv_eigenvecs, model.rates, model.prop_invar,
+        model.params_indices, dtype=dtype)
+    num_slots = int(program.pmatrix_indices.max()) + 1
+    pmatrix = jnp.zeros((num_slots, R, S, S), dtype)
+    pmatrix = pmatrix.at[jnp.asarray(program.pmatrix_indices)].set(pmats)
+
+    clv = jnp.zeros((cfg_ext.num_clvs + 1, R, S, T), dtype)
+    tip_clv = expand_tipchars(tipchars, S, dtype)
+    clv = clv.at[:cfg.tips].set(
+        jnp.broadcast_to(tip_clv[:, None, :, :], (cfg.tips, R, S, T)))
+    scalers = jnp.zeros((cfg_ext.scale_buffers + 2, T), jnp.int32)
+    clv, scalers = partials_ops.update_partials(
+        clv, scalers, pmatrix, jnp.asarray(program.level_ops), cfg_ext)
+    return clv, scalers, pmatrix
+
+
+@functools.partial(jax.jit, static_argnames=("program", "cfg", "rounds",
+                                             "newton_iters"))
+def optimize_branch_lengths(program: FullTreeProgram, cfg: PartitionConfig,
+                            model: Model, branch_lengths, tipchars,
+                            pattern_weights, invariant,
+                            rounds: int = 3, newton_iters: int = 10,
+                            min_branch: float = 1e-8,
+                            max_branch: float = 100.0):
+    """Newton-optimize ALL branch lengths (batched smoothing).
+
+    Each round recomputes every directional CLV once, then runs an
+    independent Newton iteration on every branch from analytic (d1, d2)
+    (core_derivatives.c:843-848 semantics) — a Jacobi-style simultaneous
+    update of the reference clients' branch-smoothing loops.
+
+    Returns (optimized_branch_lengths, logl_after).
+    """
+    dtype = cfg.dtype
+    edge_rows = jnp.asarray(program.edge_rows)
+    evecs = model.eigenvecs[model.params_indices]
+    inv_evecs = model.inv_eigenvecs[model.params_indices]
+    sp_zero = jnp.zeros((cfg.rate_cats, 1), jnp.int32)
+
+    def optimize_class(bl, color_mask):
+        """Re-sweep messages, then Newton-update the branches of one color
+        class (no two share a node, so each sees up-to-date CLVs)."""
+        clv, scalers, pmatrix = _sweep_all(program, cfg, model, bl,
+                                           tipchars)
+
+        def per_edge(args):
+            rows, t0 = args
+            clvp, clvc = clv[rows[0]], clv[rows[2]]
+            st = derivatives_ops.update_sumtable(
+                clvp, clvc, sp_zero, sp_zero, evecs, inv_evecs,
+                model.cat_freqs, cfg)
+
+            def newton_step(_, t):
+                d1, d2 = derivatives_ops.likelihood_derivatives(
+                    st, t, model.rates,
+                    model.eigenvals[model.params_indices], model.cat_pinv,
+                    model.rate_weights, model.cat_freqs, invariant,
+                    pattern_weights, cfg)
+                newton = t - d1 / d2
+                fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
+                t_new = jnp.where(d2 > 0, newton, fallback)
+                return jnp.clip(t_new, min_branch, max_branch)
+
+            return jax.lax.fori_loop(0, newton_iters, newton_step, t0)
+
+        proposal = jax.lax.map(per_edge, (edge_rows, bl))
+        return jnp.where(color_mask, proposal, bl).astype(dtype)
+
+    colors = np.asarray(program.edge_colors)
+
+    def one_round(bl, _):
+        for c in range(program.n_colors):
+            bl = optimize_class(bl, jnp.asarray(colors == c))
+        return bl, None
+
+    bl, _ = jax.lax.scan(one_round, branch_lengths, None, length=rounds)
+
+    # final logL across the root edge with the optimized lengths
+    clv, scalers, pmatrix = _sweep_all(program, cfg, model, bl, tipchars)
+    ra, rsa, rb, rsb = program.edge_rows[program.root_edge]
+    logl = likelihood_ops.edge_loglikelihood(
+        clv[ra], scalers[rsa], clv[rb], scalers[rsb],
+        pmatrix[program.pmatrix_indices[program.root_edge]],
+        model.cat_freqs, model.rate_weights, model.cat_pinv,
+        invariant, pattern_weights, cfg)
+    return bl, logl
+
+
+@functools.partial(jax.jit, static_argnames=("program", "cfg"))
+def branch_derivatives(program: FullTreeProgram, cfg: PartitionConfig,
+                       model: Model, branch_lengths, tipchars,
+                       pattern_weights, invariant):
+    """(d1, d2) of -lnL w.r.t. EVERY branch length in one sweep ([E], [E]).
+
+    The reference computes these one branch at a time
+    (pll_update_sumtable + pll_compute_likelihood_derivatives); here the
+    directional-message sweep makes all E pairs available at once.
+    """
+    edge_rows = jnp.asarray(program.edge_rows)
+    evecs = model.eigenvecs[model.params_indices]
+    inv_evecs = model.inv_eigenvecs[model.params_indices]
+    sp_zero = jnp.zeros((cfg.rate_cats, 1), jnp.int32)
+    clv, scalers, pmatrix = _sweep_all(program, cfg, model, branch_lengths,
+                                       tipchars)
+
+    def per_edge(args):
+        rows, t = args
+        st = derivatives_ops.update_sumtable(
+            clv[rows[0]], clv[rows[2]], sp_zero, sp_zero, evecs, inv_evecs,
+            model.cat_freqs, cfg)
+        return derivatives_ops.likelihood_derivatives(
+            st, t, model.rates, model.eigenvals[model.params_indices],
+            model.cat_pinv, model.rate_weights, model.cat_freqs, invariant,
+            pattern_weights, cfg)
+
+    return jax.lax.map(per_edge, (edge_rows, branch_lengths))
+
+
+@functools.partial(jax.jit, static_argnames=("program", "cfg"))
+def all_edge_loglikelihoods(program: FullTreeProgram, cfg: PartitionConfig,
+                            model: Model, branch_lengths, tipchars,
+                            pattern_weights, invariant):
+    """Edge logL evaluated across EVERY branch ([E]).  All entries must be
+    equal (the likelihood is invariant to the evaluation edge) — the
+    strongest whole-sweep self-check the message structure admits."""
+    edge_rows = jnp.asarray(program.edge_rows)
+    clv, scalers, pmatrix = _sweep_all(program, cfg, model, branch_lengths,
+                                       tipchars)
+    pmat_slots = jnp.asarray(program.pmatrix_indices)
+
+    def per_edge(args):
+        rows, slot = args
+        return likelihood_ops.edge_loglikelihood(
+            clv[rows[0]], scalers[rows[1]], clv[rows[2]], scalers[rows[3]],
+            pmatrix[slot], model.cat_freqs, model.rate_weights,
+            model.cat_pinv, invariant, pattern_weights, cfg)
+
+    return jax.lax.map(per_edge, (edge_rows, pmat_slots))
+
+
 def pad_tipchars(tipchars: np.ndarray, cfg: PartitionConfig) -> np.ndarray:
     """Pad encoded tip characters [tips, sites_alloc] (bitmask) to the
     engine's [tips, T] int32 input (padding columns = gap state so padded
