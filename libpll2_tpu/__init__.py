@@ -9,6 +9,8 @@ SPR/NNI moves — organized as a functional core (ops/) under a familiar
 partition API, with alignment sites sharded across TPU meshes.
 """
 from . import constants
+from . import engine
+from . import fit
 from .config import PartitionConfig
 from .constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
                         GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN, MAP_AA,
@@ -23,6 +25,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Partition", "Operation", "PartitionConfig", "levelize_operations",
+    "engine", "fit",
     "compute_gamma_cats", "update_eigen", "constants",
     "Parsimony", "FastParsimony", "ParsBuildOp", "ParsRecOp",
     "MAP_NT", "MAP_AA", "MAP_BIN", "MAP_GT10", "MAP_GT16", "MAPS",

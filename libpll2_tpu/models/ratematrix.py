@@ -115,6 +115,44 @@ def update_eigen(subst_params: np.ndarray, freqs: np.ndarray) -> EigenDecomp:
                        inv_eigenvecs=inv_eigenvecs)
 
 
+# --------------------------------------------------------------------------
+# Traceable / differentiable variants (JAX) — the autodiff model-fitting
+# path (fit.py).  The reference's eigendecomposition is a host-side
+# numerical routine; re-expressing it in JAX makes d logL / d (subst
+# params, frequencies) available by autodiff, which the C library cannot
+# provide at all.  The zero-frequency state elimination (data-dependent
+# shapes) is omitted: fitted frequencies are kept strictly positive by the
+# softmax parametrization.
+# --------------------------------------------------------------------------
+
+def build_rate_matrix_jax(subst_params, freqs):
+    """Symmetrized normalized sqrt(pi) Q sqrt(pi)^-1, fully traced."""
+    import jax.numpy as jnp
+    S = freqs.shape[0]
+    iu = np.triu_indices(S, 1)                      # static index pattern
+    params = subst_params / subst_params[-1]
+    rates = jnp.zeros((S, S), freqs.dtype).at[iu].set(params)
+    rates = rates + rates.T                         # factor_ij, zero diag
+    sq = jnp.sqrt(freqs)
+    b = rates * sq[:, None] * sq[None, :]
+    diag = -(rates * freqs[None, :]).sum(axis=1)    # q_ii
+    b = b + jnp.diag(diag)
+    mean = jnp.sum(freqs * -diag)
+    return b / mean
+
+
+def update_eigen_jax(subst_params, freqs):
+    """Traced eigendecomposition; returns (eigenvals, eigenvecs,
+    inv_eigenvecs) in the same orientation as update_eigen."""
+    import jax.numpy as jnp
+    b = build_rate_matrix_jax(subst_params, freqs)
+    d, v = jnp.linalg.eigh(b)
+    sq = jnp.sqrt(freqs)
+    eigenvecs = v.T * sq[None, :]
+    inv_eigenvecs = v / sq[:, None]
+    return d, eigenvecs, inv_eigenvecs
+
+
 def normalize_frequencies(freqs: np.ndarray) -> np.ndarray:
     """Renormalize frequencies to sum to 1 if they deviate by > 1e-8.
 
