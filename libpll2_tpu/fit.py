@@ -39,10 +39,11 @@ class FitParams(NamedTuple):
     log_subst: jax.Array     # [M, K-1]
     freq_logits: jax.Array   # [M, S]
     log_branch: jax.Array    # [E]
+    log_alpha: jax.Array     # [] gamma shape (ignored unless fit_alpha)
 
 
-def pack(subst_params, frequencies, branch_lengths, dtype=jnp.float32,
-         break_ties: float = 1e-3) -> FitParams:
+def pack(subst_params, frequencies, branch_lengths, alpha: float = 1.0,
+         dtype=jnp.float32, break_ties: float = 1e-3) -> FitParams:
     """Pack starting values into unconstrained variables.
 
     break_ties: symmetric starts (e.g. Jukes–Cantor: all rates equal,
@@ -63,6 +64,7 @@ def pack(subst_params, frequencies, branch_lengths, dtype=jnp.float32,
         log_subst=jnp.asarray(np.log(subst[:, :-1]), dtype),
         freq_logits=jnp.asarray(np.log(freqs), dtype),
         log_branch=jnp.asarray(np.log(np.asarray(branch_lengths)), dtype),
+        log_alpha=jnp.asarray(np.log(alpha), dtype),
     )
 
 
@@ -105,13 +107,26 @@ def _xla_cfg(cfg: PartitionConfig) -> PartitionConfig:
     return dataclasses.replace(cfg, use_pallas=False)
 
 
-@functools.partial(jax.jit, static_argnames=("program", "cfg"))
+def _rates(params: FitParams, rates, cfg: PartitionConfig,
+           fit_alpha: bool):
+    if not fit_alpha:
+        return jnp.asarray(rates, cfg.dtype)
+    from .models.gamma import compute_gamma_cats_jax
+    n = len(rates)
+    return compute_gamma_cats_jax(jnp.exp(params.log_alpha),
+                                  n).astype(cfg.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("program", "cfg", "fit_alpha"))
 def loglikelihood_fn(program, cfg: PartitionConfig, params: FitParams,
-                     rates, tipchars, pattern_weights, invariant):
+                     rates, tipchars, pattern_weights, invariant,
+                     fit_alpha: bool = False):
     """logL as a differentiable function of FitParams."""
     cfg = _xla_cfg(cfg)
     subst, freqs, bl = unpack(params)
-    model = make_model_traced(subst, freqs, rates, dtype=cfg.dtype)
+    model = make_model_traced(subst, freqs,
+                              _rates(params, rates, cfg, fit_alpha),
+                              dtype=cfg.dtype)
     return engine.loglikelihood(program, cfg, model, bl, tipchars,
                                 pattern_weights, invariant)
 
@@ -123,19 +138,24 @@ class FitResult(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("program", "cfg", "steps", "lr"))
+                   static_argnames=("program", "cfg", "steps", "lr",
+                                    "fit_alpha"))
 def fit_model(program, cfg: PartitionConfig, params0: FitParams, rates,
               tipchars, pattern_weights, invariant,
-              steps: int = 200, lr: float = 0.05) -> FitResult:
-    """Maximize logL over (GTR rates, frequencies, branch lengths) with
-    Adam — the whole optimization is ONE compiled program on device."""
+              steps: int = 200, lr: float = 0.05,
+              fit_alpha: bool = False) -> FitResult:
+    """Maximize logL over (GTR rates, frequencies, branch lengths, and —
+    with fit_alpha — the gamma shape via the differentiable
+    discretization) with Adam — the whole optimization is ONE compiled
+    program on device."""
     import optax
     cfg = _xla_cfg(cfg)
     opt = optax.adam(lr)
 
     def loss(p):
         return -loglikelihood_fn(program, cfg, p, rates, tipchars,
-                                 pattern_weights, invariant)
+                                 pattern_weights, invariant,
+                                 fit_alpha=fit_alpha)
 
     def step(carry, _):
         p, opt_state = carry

@@ -167,6 +167,61 @@ def _point_gamma(prob: float, alpha: float, beta: float) -> float:
     return _point_chi2(prob, 2.0 * alpha) / (2.0 * beta)
 
 
+def gamma_quantile_jax(alpha, p, newton_iters: int = 25):
+    """Quantile of Gamma(alpha, 1) at probability p — traced/differentiable.
+
+    Wilson–Hilferty initialization (the same normal-approx start AS 91
+    uses) + Newton on the regularized incomplete gamma.  Differentiable in
+    BOTH alpha and p: XLA carries d igamma / d a (IgammaGradA), and the
+    unrolled Newton converges far past f64 rounding, so its autodiff
+    matches implicit differentiation."""
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.special import gammainc, gammaln
+
+    z = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * p - 1.0)
+    p1 = 1.0 / (9.0 * alpha)
+    x = alpha * (z * jnp.sqrt(p1) + 1.0 - p1) ** 3
+    x = jnp.maximum(x, 1e-10)
+
+    def body(x, _):
+        f = gammainc(alpha, x) - p
+        pdf = jnp.exp((alpha - 1.0) * jnp.log(x) - x - gammaln(alpha))
+        step = f / jnp.maximum(pdf, 1e-300)
+        x_new = x - step
+        # halve toward the current point when Newton overshoots below 0
+        x_new = jnp.where(x_new > 0, x_new, x * 0.5)
+        return x_new, None
+
+    x, _ = jax.lax.scan(body, x, None, length=newton_iters)
+    return x
+
+
+def compute_gamma_cats_jax(alpha, categories: int,
+                           mode: int = GAMMA_RATES_MEAN):
+    """Traced/differentiable counterpart of compute_gamma_cats — lets the
+    gamma shape parameter join gradient-based model fitting (fit.py),
+    which the reference's host-only AS-recipe implementation cannot."""
+    import jax.numpy as jnp
+    from jax.scipy.special import gammainc
+
+    C = categories
+    if C == 1:
+        return jnp.ones(1)
+    alpha = jnp.asarray(alpha)
+    if mode == GAMMA_RATES_MEDIAN:
+        ps = (2.0 * jnp.arange(C) + 1.0) / (2.0 * C)
+        rates = gamma_quantile_jax(alpha, ps) / alpha
+        return rates * (C / jnp.sum(rates))
+    if mode != GAMMA_RATES_MEAN:
+        raise ValueError(f"invalid gamma discretization mode ({mode})")
+    ps = jnp.arange(1, C) / C
+    q = gamma_quantile_jax(alpha, ps)            # Gamma(alpha, 1) quantiles
+    probs = gammainc(alpha + 1.0, q)             # category boundary masses
+    probs = jnp.concatenate([jnp.zeros(1), probs, jnp.ones(1)])
+    return (probs[1:] - probs[:-1]) * C
+
+
 def compute_gamma_cats(alpha: float, categories: int,
                        mode: int = GAMMA_RATES_MEAN) -> np.ndarray:
     """Discretize Gamma(alpha, alpha) into equal-probability category rates.

@@ -70,7 +70,8 @@ def test_autodiff_gradient_matches_analytic_d1():
                       dtype=jnp.float64)
 
     def neg_logl_of_bl(log_bl):
-        p = fit.FitParams(params.log_subst, params.freq_logits, log_bl)
+        p = fit.FitParams(params.log_subst, params.freq_logits, log_bl,
+                          params.log_alpha)
         return -fit.loglikelihood_fn(program, cfg, p, rates, tipchars,
                                      pw, inv)
 
@@ -112,3 +113,61 @@ def test_fit_improves_and_recovers():
         counts[s] = ((raw == (1 << s)).sum())
     emp = counts / counts.sum()
     np.testing.assert_allclose(np.asarray(freqs)[0], emp, atol=0.08)
+
+
+def test_gamma_jax_matches_host():
+    from libpll2_tpu.models.gamma import (compute_gamma_cats,
+                                          compute_gamma_cats_jax)
+    from libpll2_tpu.constants import GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN
+    for alpha in (0.2, 0.8, 1.0, 2.5, 10.0):
+        for C in (2, 4, 8):
+            for mode in (GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN):
+                a = compute_gamma_cats(alpha, C, mode)
+                b = np.asarray(compute_gamma_cats_jax(
+                    jnp.float64(alpha), C, mode))
+                # compare to the reference's own AS-91 tolerance, scaled
+                # by the dominant rate (tiny categories underflow earlier)
+                np.testing.assert_allclose(b, a, rtol=5e-6,
+                                           atol=1e-9 * a.max())
+
+
+def test_gamma_alpha_gradient():
+    from libpll2_tpu.models.gamma import (compute_gamma_cats,
+                                          compute_gamma_cats_jax)
+    g = jax.grad(lambda a: compute_gamma_cats_jax(a, 4)[0])(
+        jnp.float64(0.8))
+    fd = (compute_gamma_cats(0.8 + 1e-6, 4)[0]
+          - compute_gamma_cats(0.8 - 1e-6, 4)[0]) / 2e-6
+    np.testing.assert_allclose(float(g), fd, rtol=1e-6)
+
+
+def test_fit_alpha_recovers_rate_heterogeneity():
+    """Data generated at alpha=0.5 (strong heterogeneity): fitting with
+    fit_alpha from alpha=2.0 must move alpha down and beat the
+    fixed-wrong-alpha likelihood."""
+    tree, cfg, program, full, tipchars, pw, inv, _ = setup(
+        n_tips=10, sites=400, seed=11)
+    rates4 = pll.compute_gamma_cats(2.0, 4)
+    params0 = fit.pack([SUBST], [FREQS],
+                       np.asarray(full.default_branch_lengths),
+                       alpha=2.0, dtype=jnp.float64)
+    logl_fixed = float(fit.loglikelihood_fn(
+        program, cfg, params0, rates4, tipchars, pw, inv))
+    res = fit.fit_model(program, cfg, params0, rates4, tipchars, pw, inv,
+                        steps=150, lr=0.05, fit_alpha=True)
+    assert float(res.logl[-1]) > logl_fixed
+    alpha_fit = float(np.exp(np.asarray(res.params.log_alpha)))
+    assert 0.02 < alpha_fit < 50.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from libpll2_tpu.utils import checkpoint
+    params = fit.pack([SUBST], [FREQS], [0.1, 0.2, 0.3], alpha=1.5,
+                      dtype=jnp.float64)
+    checkpoint.save(tmp_path / "ck", params)
+    like = fit.pack([[1.0] * 6], [[0.25] * 4], [1.0, 1.0, 1.0],
+                    dtype=jnp.float64)
+    restored = checkpoint.restore(tmp_path / "ck", like)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
