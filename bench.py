@@ -26,7 +26,7 @@ REPO = Path(__file__).resolve().parent
 TIPS = int(os.environ.get("BENCH_TIPS", 256))
 SITES = int(os.environ.get("BENCH_SITES", 65536))
 RATE_CATS = 4
-REPS = int(os.environ.get("BENCH_REPS", 20))
+REPS = int(os.environ.get("BENCH_REPS", 64))
 
 
 def measure_reference() -> float:
