@@ -621,6 +621,53 @@ def optimize_branch_lengths(program: FullTreeProgram, cfg: PartitionConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("program", "cfg"))
+def score_placements(program: FullTreeProgram, cfg: PartitionConfig,
+                     model: Model, branch_lengths, tipchars,
+                     pattern_weights, invariant,
+                     sub_clv, sub_scaler, sub_branch_length):
+    """Log-likelihood of regrafting a pruned subtree onto EVERY edge of
+    the remainder tree, in one device program ([E]).
+
+    `program` is compile_tree_full of the REMAINDER tree (after
+    moves.prune_subtree); `sub_clv`/`sub_scaler` is the pruned subtree's
+    CLV directed at the cut (tree.traverse_subtree + any partials path)
+    and `sub_branch_length` its attachment branch.  Placement at edge e
+    follows SPR semantics (utree_moves.c:119-254): the edge splits in
+    half, the subtree keeps its branch — so score_placements[e] equals
+    the full-tree logL after spr(...) onto e.  This is the batched inner
+    loop of SPR rounds and EPA-style phylogenetic placement; the
+    reference evaluates candidates one partial traversal at a time.
+    """
+    dtype = cfg.dtype
+    clv, scalers, _ = _sweep_all(program, cfg, model, branch_lengths,
+                                 tipchars)
+    halves = pmatrix_ops.compute_pmatrices(
+        branch_lengths * 0.5, model.eigenvals, model.eigenvecs,
+        model.inv_eigenvecs, model.rates, model.prop_invar,
+        model.params_indices, dtype=dtype)                   # [E, R, S, S]
+    p3 = pmatrix_ops.compute_pmatrices(
+        jnp.asarray(sub_branch_length, dtype)[None], model.eigenvals,
+        model.eigenvecs, model.inv_eigenvecs, model.rates,
+        model.prop_invar, model.params_indices, dtype=dtype)[0]
+    hi = jax.lax.Precision.HIGHEST
+    sub_term = jnp.einsum("rij,rjt->rit", p3, sub_clv.astype(dtype),
+                          precision=hi)
+    edge_rows = jnp.asarray(program.edge_rows)
+
+    def per_edge(args):
+        rows, ph = args
+        ta = jnp.einsum("rij,rjt->rit", ph, clv[rows[0]], precision=hi)
+        tb = jnp.einsum("rij,rjt->rit", ph, clv[rows[2]], precision=hi)
+        combined = ta * tb * sub_term                        # [R, S, T]
+        scal = scalers[rows[1]] + scalers[rows[3]] + sub_scaler
+        return likelihood_ops.root_loglikelihood(
+            combined, scal, model.cat_freqs, model.rate_weights,
+            model.cat_pinv, invariant, pattern_weights, cfg)
+
+    return jax.lax.map(per_edge, (edge_rows, halves))
+
+
+@functools.partial(jax.jit, static_argnames=("program", "cfg"))
 def branch_derivatives(program: FullTreeProgram, cfg: PartitionConfig,
                        model: Model, branch_lengths, tipchars,
                        pattern_weights, invariant):

@@ -132,6 +132,23 @@ def spr(p: UNode, r: UNode, safe: bool = False
     return rb, branch_lengths, matrix_indices
 
 
+def prune_subtree(p: UNode) -> UNode:
+    """The prune half of an SPR (utree_moves.c:140-169): detach p's node
+    (and the subtree behind p->back) from the tree, reconnecting the two
+    vacated neighbors with summed branch lengths.
+
+    Returns a half-node inside the remainder tree.  The pruned component
+    stays rooted at p (p->back and the subtree behind it are untouched);
+    p->next / p->next->next dangle."""
+    if p.next is None:
+        raise ValueError("prune edge must be defined by an inner node")
+    u = p.next.back
+    v = p.next.next.back
+    _link(u, v, u.length + v.length, u.pmatrix_index)
+    p.next.back = p.next.next.back = None
+    return u
+
+
 def rollback(rb: Rollback) -> Tuple[List[float], List[int]]:
     """Undo a recorded move (pll_utree_rollback, utree_moves.c:356-375).
     Returns the (branch_lengths, pmatrix_indices) restored by an SPR

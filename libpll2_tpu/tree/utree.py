@@ -110,6 +110,31 @@ def traverse(root: UNode, order: int = TRAVERSE_POSTORDER,
     return out
 
 
+def traverse_subtree(root: UNode, order: int = TRAVERSE_POSTORDER
+                     ) -> List[UNode]:
+    """Traversal of ONLY the subtree behind `root` (away from root->back).
+
+    Ends (post-order) at `root` itself; compiling the result with
+    create_operations yields the operations that make root's node CLV the
+    subtree's likelihood directed toward root->back — the pruned-subtree
+    CLV an SPR/placement scorer needs (engine.score_placements)."""
+    out: List[UNode] = []
+
+    def rec(node: UNode) -> None:
+        if order == TRAVERSE_PREORDER:
+            out.append(node)
+        if node.next is not None:
+            snode = node.next
+            while snode is not node:
+                rec(snode.back)
+                snode = snode.next
+        if order == TRAVERSE_POSTORDER:
+            out.append(node)
+
+    rec(root)
+    return out
+
+
 # --------------------------------------------------------------------------
 # operations compilation (utree.c:317-366)
 # --------------------------------------------------------------------------
