@@ -37,9 +37,13 @@ from .tree import create_operations, traverse
 from .tree.utree import UTree
 
 
-@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit static arg
+@dataclasses.dataclass(frozen=True, eq=False)
 class TreeProgram:
-    """Host-compiled static form of one topology (hashable by identity)."""
+    """Host-compiled static form of one topology.
+
+    Hashes/compares by CONTENT (see _content_key) so jit caches hit when
+    an identical topology is compiled again — tree searches revisit
+    topologies constantly and would otherwise recompile every visit."""
     level_ops: np.ndarray          # [L, W, 8] int32 (padded; XLA path)
     flat_ops: np.ndarray           # [OPS, 8] int32 (unpadded; Pallas path)
     vmem_prog: Optional[partials_pallas_tree.TreeVmemProgram]
@@ -53,9 +57,37 @@ class TreeProgram:
     tip_count: int
     inner_count: int
 
+    _hash: int = dataclasses.field(default=None, compare=False, repr=False)
+
     @property
     def num_branches(self) -> int:
         return len(self.pmatrix_indices)
+
+    def _content_key(self):
+        vals = []
+        for f in dataclasses.fields(self):
+            if f.name.startswith("_"):
+                continue
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                vals.append((f.name, v.shape, str(v.dtype),
+                             v.tobytes()))
+            elif isinstance(v, dict):
+                vals.append((f.name, tuple(sorted(v.items()))))
+            elif isinstance(v, object):
+                vals.append((f.name, v))
+            else:
+                vals.append((f.name, v))
+        return tuple(vals)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and self._content_key() == other._content_key())
+
+    def __hash__(self):
+        if self._hash is None:
+            object.__setattr__(self, "_hash", hash(self._content_key()))
+        return self._hash
 
 
 def compile_tree(tree: UTree, cfg: PartitionConfig) -> TreeProgram:
@@ -403,7 +435,8 @@ def optimize_root_branch(program: TreeProgram, cfg: PartitionConfig,
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class FullTreeProgram:
-    """All-directions message program for one topology."""
+    """All-directions message program for one topology (content-hashed,
+    same rationale as TreeProgram)."""
     cfg_ext: PartitionConfig        # row space extended to message slots
     level_ops: np.ndarray           # [L, W, 8] int32
     pmatrix_indices: np.ndarray     # [E] branch i -> pmatrix slot
@@ -413,6 +446,33 @@ class FullTreeProgram:
     n_colors: int
     root_edge: int                  # branch position of the vroot edge
     tip_count: int
+    _hash: int = dataclasses.field(default=None, compare=False, repr=False)
+
+    def _content_key(self):
+        vals = []
+        for f in dataclasses.fields(self):
+            if f.name.startswith("_"):
+                continue
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                vals.append((f.name, v.shape, str(v.dtype),
+                             v.tobytes()))
+            elif isinstance(v, dict):
+                vals.append((f.name, tuple(sorted(v.items()))))
+            elif isinstance(v, PartitionConfig):
+                vals.append((f.name, v))
+            else:
+                vals.append((f.name, v))
+        return tuple(vals)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and self._content_key() == other._content_key())
+
+    def __hash__(self):
+        if self._hash is None:
+            object.__setattr__(self, "_hash", hash(self._content_key()))
+        return self._hash
 
 
 def compile_tree_full(tree: UTree, cfg: PartitionConfig) -> FullTreeProgram:

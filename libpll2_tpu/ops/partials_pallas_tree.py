@@ -59,18 +59,48 @@ OP_COLS = 9
 VMEM_BUDGET = 96 * 1024 * 1024
 
 
-@dataclasses.dataclass(frozen=True, eq=False)  # identity hash (jit static)
+@dataclasses.dataclass(frozen=True, eq=False)
 class TreeVmemProgram:
-    """Host-compiled slot-allocated schedule of one tree traversal."""
+    """Host-compiled slot-allocated schedule of one tree traversal.
+
+    Hashes/compares by CONTENT so jit caches hit when the same topology
+    is recompiled (SPR rounds revisit topologies constantly)."""
     ops: np.ndarray                    # [OPS, 9] int32
     pool_size: int
     exports: tuple                     # ((op_index, slot), ...) row-ordered
     export_clv_map: dict               # clv_index -> export row
     export_scaler_map: dict            # scaler_index -> export row
+    _hash: int = dataclasses.field(default=None, compare=False, repr=False)
 
     @property
     def n_ops(self) -> int:
         return self.ops.shape[0]
+
+    def _content_key(self):
+        vals = []
+        for f in dataclasses.fields(self):
+            if f.name.startswith("_"):
+                continue
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                vals.append((f.name, v.shape, str(v.dtype),
+                             v.tobytes()))
+            elif isinstance(v, dict):
+                vals.append((f.name, tuple(sorted(v.items()))))
+            elif isinstance(v, object):
+                vals.append((f.name, v))
+            else:
+                vals.append((f.name, v))
+        return tuple(vals)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and self._content_key() == other._content_key())
+
+    def __hash__(self):
+        if self._hash is None:
+            object.__setattr__(self, "_hash", hash(self._content_key()))
+        return self._hash
 
 
 def schedule(ops: Sequence, tips: int, export_clvs: Sequence[int]
