@@ -602,7 +602,10 @@ def _sweep_all(program: FullTreeProgram, cfg: PartitionConfig, model: Model,
     tip_clv = expand_tipchars(tipchars, S, dtype)
     clv = clv.at[:cfg.tips].set(
         jnp.broadcast_to(tip_clv[:, None, :, :], (cfg.tips, R, S, T)))
-    scalers = jnp.zeros((cfg_ext.scale_buffers + 2, T), jnp.int32)
+    if cfg.per_rate_scalers:
+        scalers = jnp.zeros((cfg_ext.scale_buffers + 2, R, T), jnp.int32)
+    else:
+        scalers = jnp.zeros((cfg_ext.scale_buffers + 2, T), jnp.int32)
     clv, scalers = partials_ops.update_partials(
         clv, scalers, pmatrix, jnp.asarray(program.level_ops), cfg_ext)
     return clv, scalers, pmatrix
@@ -640,8 +643,12 @@ def optimize_branch_lengths(program: FullTreeProgram, cfg: PartitionConfig,
         def per_edge(args):
             rows, t0 = args
             clvp, clvc = clv[rows[0]], clv[rows[2]]
+            # per-site scalers cancel in L'/L; per-rate relative scalers
+            # must fold into the sumtable (core_derivatives.c:418-460)
+            sp, sc = ((scalers[rows[1]], scalers[rows[3]])
+                      if cfg.per_rate_scalers else (sp_zero, sp_zero))
             st = derivatives_ops.update_sumtable(
-                clvp, clvc, sp_zero, sp_zero, evecs, inv_evecs,
+                clvp, clvc, sp, sc, evecs, inv_evecs,
                 model.cat_freqs, cfg)
 
             def newton_step(_, t):
@@ -690,7 +697,8 @@ def score_placements(program: FullTreeProgram, cfg: PartitionConfig,
 
     `program` is compile_tree_full of the REMAINDER tree (after
     moves.prune_subtree); `sub_clv`/`sub_scaler` is the pruned subtree's
-    CLV directed at the cut (tree.traverse_subtree + any partials path)
+    CLV directed at the cut (tree.traverse_subtree + any partials path;
+    sub_scaler shaped [T], or [R, T] under per_rate_scalers)
     and `sub_branch_length` its attachment branch.  Placement at edge e
     follows SPR semantics (utree_moves.c:119-254): the edge splits in
     half, the subtree keeps its branch — so score_placements[e] equals
@@ -746,8 +754,10 @@ def branch_derivatives(program: FullTreeProgram, cfg: PartitionConfig,
 
     def per_edge(args):
         rows, t = args
+        sp, sc = ((scalers[rows[1]], scalers[rows[3]])
+                  if cfg.per_rate_scalers else (sp_zero, sp_zero))
         st = derivatives_ops.update_sumtable(
-            clv[rows[0]], clv[rows[2]], sp_zero, sp_zero, evecs, inv_evecs,
+            clv[rows[0]], clv[rows[2]], sp, sc, evecs, inv_evecs,
             model.cat_freqs, cfg)
         return derivatives_ops.likelihood_derivatives(
             st, t, model.rates, model.eigenvals[model.params_indices],

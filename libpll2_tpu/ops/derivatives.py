@@ -82,6 +82,53 @@ def update_sumtable(clvp,            # [R, S, T] parent CLV
     return sum_rjt
 
 
+def sumtable_loglikelihood(sumtable,         # [R, S, T]
+                           branch_length,    # scalar
+                           rates,            # [R]
+                           eigenvals,        # [R, S]
+                           prop_invar,       # [R]
+                           rate_weights,     # [R]
+                           freqs,            # [R, S]
+                           invariant,        # [T] int32
+                           pattern_weights,  # [T]
+                           site_scalings,    # [T] int32 summed scalers
+                           cfg: PartitionConfig):
+    """Log-likelihood of the edge AT branch length t, from its sumtable.
+
+    Σ_j sum[r,j,t]·e^{λ_j k t} = clvp·freq·expm(Q k t)·clvc — the same
+    per-site likelihood the edge logL kernel computes (cat0 of
+    core_derivatives.c:643-694 with +I mixing), so one sumtable prices the
+    edge at ANY length with an [R,S]×[R,S,T] contraction.  This is what
+    makes batched placement scoring with per-edge Newton refinement cheap
+    (no re-sweep per trial length).  Per-site scalers enter as the summed
+    counter correction; per-rate relative scalers must already be folded
+    into the sumtable (update_sumtable).  No asc-bias support (callers
+    assert cfg.asc_bias == AB_NONE).
+    """
+    dtype = sumtable.dtype
+    pinv = prop_invar.astype(dtype)
+    ki = rates.astype(dtype) / (1.0 - pinv)
+    e0 = jnp.exp(eigenvals.astype(dtype) * ki[:, None]
+                 * jnp.asarray(branch_length, dtype))          # [R, S]
+    cat0 = jnp.einsum("rjt,rj->rt", sumtable, e0,
+                      preferred_element_type=dtype, precision=HIGHEST)
+    idx = jnp.maximum(invariant, 0)
+    inv_lk = jnp.where(invariant[None, :] >= 0,
+                       freqs.astype(dtype)[:, idx], 0.0)
+    has_pinv = (pinv > 0)[:, None]
+    cat0 = jnp.where(has_pinv,
+                     cat0 * (1.0 - pinv)[:, None] + inv_lk * pinv[:, None],
+                     cat0)
+    term = jnp.einsum("rt,r->t", cat0, rate_weights.astype(dtype),
+                      precision=HIGHEST)
+    live = pattern_weights > 0
+    safe = jnp.where(live, term, 1.0)
+    site_lk = jnp.log(safe) + site_scalings.astype(dtype) \
+        * jnp.asarray(cfg.log_scale_threshold, dtype)
+    return jnp.sum(jnp.where(live,
+                             site_lk * pattern_weights.astype(dtype), 0.0))
+
+
 def likelihood_derivatives(sumtable,         # [R, S, T]
                            branch_length,    # scalar
                            rates,            # [R]

@@ -51,11 +51,12 @@ def _subtree_clv(tree: UTree, cfg: PartitionConfig, model, tipchars,
     cut, via the XLA level-batched path."""
     R, S, T = cfg.rate_cats, cfg.states, cfg.sites_padded
     dtype = cfg.dtype
+    scal_shape = (R, T) if cfg.per_rate_scalers else (T,)
     if h.next is None:
         tip = engine.expand_tipchars(tipchars[h.clv_index:h.clv_index + 1],
                                      S, dtype)[0]
         clv = jnp.broadcast_to(tip[None], (R, S, T))
-        return clv, jnp.zeros(T, jnp.int32)
+        return clv, jnp.zeros(scal_shape, jnp.int32)
     pmats = pmatrix_ops.compute_pmatrices(
         branch_lengths, model.eigenvals, model.eigenvecs,
         model.inv_eigenvecs, model.rates, model.prop_invar,
@@ -71,11 +72,11 @@ def _subtree_clv(tree: UTree, cfg: PartitionConfig, model, tipchars,
     tip_clv = engine.expand_tipchars(tipchars, S, dtype)
     clv0 = clv0.at[:cfg.tips].set(
         jnp.broadcast_to(tip_clv[:, None], (cfg.tips, R, S, T)))
-    scal0 = jnp.zeros((cfg.scale_buffers + 2, T), jnp.int32)
+    scal0 = jnp.zeros((cfg.scale_buffers + 2,) + scal_shape, jnp.int32)
     clv, scalers = partials_ops.update_partials(
         clv0, scal0, pmatrix, jnp.asarray(level_ops), cfg)
     scaler = (scalers[h.scaler_index] if h.scaler_index >= 0
-              else jnp.zeros(T, jnp.int32))
+              else jnp.zeros(scal_shape, jnp.int32))
     return clv[h.clv_index], scaler
 
 

@@ -204,12 +204,19 @@ def unroot_inplace(root: UNode) -> UNode:
 
 
 def parse_newick_string(text: str) -> UTree:
-    """Parse a strictly-unrooted, binary newick string."""
+    """Parse a strictly-unrooted, binary newick string.
+
+    Multifurcating input is REJECTED: the operations compiler
+    (tree/utree.py create_operations) assumes binary nodes, so silently
+    accepting a polytomy would drop children and produce a wrong
+    likelihood.  (The reference exposes the equivalent strict check via
+    pll_utree_wraptree's binary flag, parse_utree.y:462-479.)
+    """
     root, tips = _parse_graph(text)
     if _is_rooted(root):
         raise ValueError("rooted tree parsed but unrooted tree is expected")
     reset_template_indices(root, tips)
-    return wrap_tree(root, binary_required=False)
+    return wrap_tree(root, binary_required=True)
 
 
 def parse_newick_string_rooted(text: str) -> UTree:
@@ -220,11 +227,12 @@ def parse_newick_string_rooted(text: str) -> UTree:
 
 
 def parse_newick_string_unroot(text: str) -> UTree:
-    """Parse, unrooting a rooted input in place."""
+    """Parse, unrooting a rooted input in place; the unrooted result must
+    be binary (same rationale as parse_newick_string)."""
     root, tips = _parse_graph(text)
     root = unroot_inplace(root)
     reset_template_indices(root, tips)
-    return wrap_tree(root, binary_required=False)
+    return wrap_tree(root, binary_required=True)
 
 
 def parse_newick(path: str | Path) -> UTree:

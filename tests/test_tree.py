@@ -89,3 +89,20 @@ def test_multifurcating_rooted_parse():
     t = T.parse_newick_string_rooted("((A:1,B:1,C:1):1,D:1);")
     assert t.tip_count == 4
     assert not t.binary
+
+
+def test_strict_parser_rejects_multifurcation():
+    """Round-1 regression: a multifurcating input silently compiled to a
+    WRONG likelihood (create_operations drops 3rd+ children); the strict
+    parser must reject it (parse_utree.y:462-479 binary-wraptree check)."""
+    multi = "((A:1,B:1,C:1):1,D:1,(E:1,F:1):1);"
+    with pytest.raises(ValueError, match="bifurcating"):
+        T.parse_newick_string(multi)
+    # the explicitly-multifurcating entry point still accepts it
+    t = T.parse_newick_string_rooted(multi)
+    assert t.tip_count == 6 and not t.binary
+
+
+def test_unroot_rejects_multifurcation():
+    with pytest.raises(ValueError, match="bifurcating"):
+        T.parse_newick_string_unroot("((A:1,B:1,C:1):1,(D:1,E:1):1);")
