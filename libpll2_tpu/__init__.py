@@ -12,6 +12,7 @@ from . import constants
 from . import engine
 from . import fit
 from . import search
+from . import search_fast
 from .config import PartitionConfig
 from .constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
                         GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN, MAP_AA,
@@ -26,7 +27,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Partition", "Operation", "PartitionConfig", "levelize_operations",
-    "engine", "fit", "search",
+    "engine", "fit", "search", "search_fast",
     "compute_gamma_cats", "update_eigen", "constants",
     "Parsimony", "FastParsimony", "ParsBuildOp", "ParsRecOp",
     "MAP_NT", "MAP_AA", "MAP_BIN", "MAP_GT10", "MAP_GT16", "MAPS",

@@ -1,0 +1,570 @@
+"""Production-scale ML SPR search: one fixed-shape device program scores
+EVERY (prune, regraft) pair, for any topology of a given tip count.
+
+The reference's search mechanics — partial traversals that recompute only
+the invalidated region after a move (utree.c:427-462,
+examples/partial-traversal/partial.c:365-463) and cheap move/rollback
+loops (utree_moves.c:119-254) — exist to amortize host-side CLV work.
+The TPU-native equivalent must instead amortize XLA *compilation*: a
+search visits thousands of topologies and each fresh program costs
+seconds to compile, dwarfing the numeric work.
+
+Two ideas make every SPR round hit the jit cache:
+
+1. **Runtime topology.**  The level-batched operation tensor, edge-row
+   table and pmatrix-slot vector are passed as *runtime arrays* (indices
+   are data, not constants), padded to size buckets, so every topology of
+   the same tip count compiles to the SAME program.
+
+2. **The gap-tip identity.**  Pruning subtree S at node u leaves a
+   remainder tree whose directional CLVs equal those of the ORIGINAL
+   topology with S's tips replaced by the gap state: an all-ones CLV
+   stays all-ones through any P (rows of expm(Qt) sum to 1), so S
+   contributes a neutral factor at u, and the two half-edges (a,u),(u,b)
+   chain into the merainder's merged edge (a,b) exactly because
+   P(t1)·P(t2) = P(t1+t2).  Scalers inside S stay 0 (ones never rescue).
+   Hence remainder CLVs for EVERY prune candidate come from the same
+   fixed-shape sweep with a different tip mask — no per-candidate
+   topology, no recompilation, exact likelihoods.
+
+A round therefore runs as ONE device call:
+  base sweep (all 2E directional messages = every pruned-subtree CLV)
+  → per candidate: gapped sweep (remainder messages)
+  → per remainder edge: regraft score with Newton-optimized attachment
+    branch (sumtable machinery, core_derivatives.c:321-471 semantics).
+
+Host-side per round: O(n²) numpy bookkeeping + the move application
+(graph surgery, moves.py).  Applies all non-conflicting improving moves
+(RAxML-style batch), verifies the combined result exactly, and falls
+back to the single best move (whose score IS its exact post-move logL)
+if the batch interacted destructively — logL is monotone by construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+from .config import PartitionConfig
+from .constants import gap_state
+from .ops import derivatives as derivatives_ops
+from .ops import likelihood as likelihood_ops
+from .ops import partials as partials_ops
+from .ops import pmatrix as pmatrix_ops
+from .tree import moves, parse_newick_string
+from .tree.utree import UTree, export_newick, traverse_subtree
+
+
+def _pad_level_ops(level_ops: np.ndarray, cfg: PartitionConfig,
+                   l_bucket: int = 8, w_bucket: int = 16,
+                   min_shape: Optional[Tuple[int, int]] = None
+                   ) -> np.ndarray:
+    """Pad [L, W, 8] to bucketed (L, W) so different topologies of the same
+    tip count share one device program (no-op rows write the scratch
+    slots; no-op levels are entire rows of them).
+
+    min_shape: carry-forward floor — a hill-climb passes the previous
+    topology's padded shape so buckets only ever GROW and successive
+    rounds keep hitting the jit cache even as the tree's depth drifts."""
+    L, W, _ = level_ops.shape
+    Lb = -(-max(L, 1) // l_bucket) * l_bucket
+    Wb = -(-max(W, 1) // w_bucket) * w_bucket
+    if min_shape is not None:
+        Lb, Wb = max(Lb, min_shape[0]), max(Wb, min_shape[1])
+    noop = np.array([cfg.clv_scratch, cfg.clv_scratch, cfg.clv_scratch,
+                     0, 0, cfg.scaler_scratch, cfg.scaler_zero,
+                     cfg.scaler_zero], dtype=np.int32)
+    out = np.broadcast_to(noop, (Lb, Wb, 8)).copy()
+    out[:L, :W] = level_ops
+    return out
+
+
+@dataclasses.dataclass
+class SprProgram:
+    """Host-compiled SPR search state for one topology.
+
+    All device-visible arrays have shapes that depend only on the tip
+    count (and the level-op buckets), so successive topologies reuse the
+    same compiled XLA programs."""
+    tree: UTree
+    cfg: PartitionConfig            # caller's config
+    cfg_ext: PartitionConfig        # row space extended to message slots
+    # device data (numpy; jnp-converted per call)
+    level_ops: np.ndarray           # [Lb, Wb, 8] int32
+    edge_rows: np.ndarray           # [E, 4] int32
+    pmatrix_slots: np.ndarray       # [E] int32
+    branch_lengths: np.ndarray      # [E] f64
+    color_masks: np.ndarray         # [4, E] bool (proper edge coloring)
+    root_edge: int
+    # candidates (C = 3*tips - 6, fixed per tip count)
+    cand_edge: np.ndarray           # [C] int32
+    cand_sub_rows: np.ndarray       # [C, 2] int32 (clv row, scaler row)
+    cand_gap_mask: np.ndarray       # [C, tips] bool
+    cand_edge_valid: np.ndarray     # [C, E] bool (all-False = invalid cand)
+    # host metadata for applying moves
+    cand_prune_node: np.ndarray     # [C] node_index of remainder half-node p
+    cand_affected: List[frozenset]  # clv-index sets for conflict detection
+    edge_endpoints: np.ndarray      # [E, 2] clv indices of edge endpoints
+    edge_node: np.ndarray           # [E] node_index of the A-side half-node
+
+
+def compile_spr(tree: UTree, cfg: PartitionConfig,
+                min_level_shape: Optional[Tuple[int, int]] = None
+                ) -> SprProgram:
+    """Compile one topology into runtime search arrays + candidate table."""
+    if cfg.per_rate_scalers:
+        raise ValueError("fast SPR search supports per-site scalers only")
+    if cfg.asc_bias != 0:
+        raise ValueError("fast SPR search does not support asc-bias yet")
+    full = engine.compile_tree_full(tree, cfg)
+    cfg_ext = full.cfg_ext
+    level_ops = _pad_level_ops(full.level_ops, cfg_ext,
+                               min_shape=min_level_shape)
+
+    E = len(full.pmatrix_indices)
+    n = tree.tip_count
+
+    # A-side half-node of each edge, matching compile_tree_full's edge_rows
+    by_pmatrix = {}
+    seen = set()
+    for node in tree.nodes:
+        for g in ([node] if node.next is None else list(node.roundabout())):
+            key = tuple(sorted((g.node_index, g.back.node_index)))
+            if key in seen:
+                continue
+            seen.add(key)
+            by_pmatrix[g.back.pmatrix_index] = g
+    edge_half = [by_pmatrix[int(p)] for p in full.pmatrix_indices]
+    edge_endpoints = np.array([[g.clv_index, g.back.clv_index]
+                               for g in edge_half], np.int32)
+    edge_node = np.array([g.node_index for g in edge_half], np.int32)
+
+    # neighbors across each inner node's three edges (for conflict sets)
+    def node_clvs_behind(h):
+        """clv indices of every node in the subtree behind h (away from
+        h.back)."""
+        return frozenset(x.clv_index for x in traverse_subtree(h))
+
+    def tip_clvs_behind(h):
+        return [x.clv_index for x in traverse_subtree(h) if x.next is None]
+
+    cands = []
+    for i, g in enumerate(edge_half):
+        for side, (sub_h, p) in enumerate(((g, g.back), (g.back, g))):
+            # prune the subtree behind sub_h (containing node(sub_h));
+            # p is the remainder-side endpoint and must be inner
+            if p.next is None:
+                continue
+            sub_tips = tip_clvs_behind(sub_h)
+            k = len(sub_tips)
+            valid = (n - k) >= 4
+            sub_rows = full.edge_rows[i, 0:2] if side == 0 \
+                else full.edge_rows[i, 2:4]
+            sub_clvs = node_clvs_behind(sub_h)
+            gap = np.zeros(n, bool)
+            gap[sub_tips] = True
+            # regraft targets: edges fully inside the remainder and not
+            # incident to p's node (those reconstruct the same topology)
+            if valid:
+                ev = ~(np.isin(edge_endpoints[:, 0], list(sub_clvs))
+                       | np.isin(edge_endpoints[:, 1], list(sub_clvs))
+                       | (edge_endpoints[:, 0] == p.clv_index)
+                       | (edge_endpoints[:, 1] == p.clv_index))
+            else:
+                ev = np.zeros(E, bool)
+            # conflict set: pruned nodes + p's node + p's other neighbors
+            affected = set(sub_clvs)
+            affected.add(p.clv_index)
+            for h in p.roundabout():
+                affected.add(h.back.clv_index)
+            cands.append((i, sub_rows, gap, ev, p.node_index,
+                          frozenset(affected)))
+
+    C = len(cands)
+    assert C == 3 * n - 6, (C, n)
+    return SprProgram(
+        tree=tree, cfg=cfg, cfg_ext=cfg_ext,
+        level_ops=level_ops,
+        edge_rows=full.edge_rows,
+        pmatrix_slots=np.asarray(full.pmatrix_indices, np.int32),
+        branch_lengths=np.asarray(full.default_branch_lengths, np.float64),
+        color_masks=np.stack([np.asarray(full.edge_colors) == c
+                              for c in range(4)]),
+        root_edge=full.root_edge,
+        cand_edge=np.array([c[0] for c in cands], np.int32),
+        cand_sub_rows=np.stack([c[1] for c in cands]).astype(np.int32),
+        cand_gap_mask=np.stack([c[2] for c in cands]),
+        cand_edge_valid=np.stack([c[3] for c in cands]),
+        cand_prune_node=np.array([c[4] for c in cands], np.int32),
+        cand_affected=[c[5] for c in cands],
+        edge_endpoints=edge_endpoints,
+        edge_node=edge_node,
+    )
+
+
+# --------------------------------------------------------------------------
+# runtime-topology device programs (shapes fixed per tip count)
+# --------------------------------------------------------------------------
+
+
+def _sweep_rt(cfg: PartitionConfig, model, level_ops, pmat_slots,
+              branch_lengths, tipchars, pmatrix=None):
+    """Directional-message sweep with the topology as runtime data.
+
+    cfg is the EXTENDED config (message row space).  Identical math to
+    engine._sweep_all; only the op tensor / slot vector are traced."""
+    dtype = cfg.dtype
+    R, S, T = cfg.rate_cats, cfg.states, tipchars.shape[-1]
+    if pmatrix is None:
+        pmats = pmatrix_ops.compute_pmatrices(
+            branch_lengths, model.eigenvals, model.eigenvecs,
+            model.inv_eigenvecs, model.rates, model.prop_invar,
+            model.params_indices, dtype=dtype)
+        num_slots = 2 * cfg.tips - 2     # template pmatrix index space
+        pmatrix = jnp.zeros((num_slots, R, S, S), dtype)
+        pmatrix = pmatrix.at[pmat_slots].set(pmats)
+
+    clv = jnp.zeros((cfg.num_clvs + 1, R, S, T), dtype)
+    tip_clv = engine.expand_tipchars(tipchars, S, dtype)
+    clv = clv.at[:cfg.tips].set(
+        jnp.broadcast_to(tip_clv[:, None, :, :], (cfg.tips, R, S, T)))
+    scalers = jnp.zeros((cfg.scale_buffers + 2, T), jnp.int32)
+    clv, scalers = partials_ops.update_partials(
+        clv, scalers, pmatrix, level_ops, cfg)
+    return clv, scalers, pmatrix
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "newton_iters"))
+def _spr_all_scores(cfg: PartitionConfig, model, level_ops, edge_rows,
+                    pmat_slots, branch_lengths, tipchars, pattern_weights,
+                    invariant, cand_edge, cand_sub_rows, cand_gap_mask,
+                    cand_edge_valid, newton_iters: int = 5):
+    """Exact post-SPR log-likelihood of every (prune candidate, regraft
+    edge) pair: ([C, E] scores, [C, E] Newton-optimized attachment branch).
+
+    cfg is the extended config.  Invalid pairs score -inf."""
+    dtype = cfg.dtype
+    R, S = cfg.rate_cats, cfg.states
+    E = edge_rows.shape[0]
+    gap = jnp.asarray(gap_state(S), tipchars.dtype)
+
+    base_clv, base_scal, pmatrix = _sweep_rt(
+        cfg, model, level_ops, pmat_slots, branch_lengths, tipchars)
+    halves = pmatrix_ops.compute_pmatrices(
+        branch_lengths * 0.5, model.eigenvals, model.eigenvecs,
+        model.inv_eigenvecs, model.rates, model.prop_invar,
+        model.params_indices, dtype=dtype)                    # [E, R, S, S]
+    evecs = model.eigenvecs[model.params_indices]
+    inv_evecs = model.inv_eigenvecs[model.params_indices]
+    evals = model.eigenvals[model.params_indices]
+    hi = jax.lax.Precision.HIGHEST
+
+    def per_cand(c):
+        gapped = jnp.where(cand_gap_mask[c][:, None], gap, tipchars)
+        rem_clv, rem_scal, _ = _sweep_rt(
+            cfg, model, level_ops, pmat_slots, branch_lengths, gapped,
+            pmatrix=pmatrix)
+        sub_clv = base_clv[cand_sub_rows[c, 0]]
+        sub_scal = base_scal[cand_sub_rows[c, 1]]
+        t3_0 = branch_lengths[cand_edge[c]]
+
+        def per_edge(e):
+            rows = edge_rows[e]
+            ph = halves[e]
+            ta = jnp.einsum("rij,rjt->rit", ph, rem_clv[rows[0]],
+                            preferred_element_type=dtype, precision=hi)
+            tb = jnp.einsum("rij,rjt->rit", ph, rem_clv[rows[2]],
+                            preferred_element_type=dtype, precision=hi)
+            clvp = ta * tb                                   # [R, S, T]
+            scal = rem_scal[rows[1]] + rem_scal[rows[3]] + sub_scal
+            st = derivatives_ops.update_sumtable(
+                clvp, sub_clv, None, None, evecs, inv_evecs,
+                model.cat_freqs, cfg)
+
+            def newton_step(_, t):
+                d1, d2 = derivatives_ops.likelihood_derivatives(
+                    st, t, model.rates, evals, model.cat_pinv,
+                    model.rate_weights, model.cat_freqs, invariant,
+                    pattern_weights, cfg)
+                newton = t - d1 / d2
+                fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
+                t_new = jnp.where(d2 > 0, newton, fallback)
+                return jnp.clip(t_new, 1e-8, 100.0)
+
+            t3 = jax.lax.fori_loop(0, newton_iters, newton_step, t3_0)
+            score = derivatives_ops.sumtable_loglikelihood(
+                st, t3, model.rates, evals, model.cat_pinv,
+                model.rate_weights, model.cat_freqs, invariant,
+                pattern_weights, scal, cfg)
+            return score, t3
+
+        scores, t3s = jax.lax.map(per_edge, jnp.arange(E))
+        scores = jnp.where(cand_edge_valid[c], scores, -jnp.inf)
+        return scores, t3s
+
+    return jax.lax.map(per_cand, jnp.arange(cand_edge.shape[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _logl_rt(cfg: PartitionConfig, model, level_ops, pmat_slots,
+             branch_lengths, tipchars, pattern_weights, invariant,
+             root_rows, root_slot):
+    """Edge logL across the root edge with runtime topology (extended
+    cfg); used to verify multi-move batches exactly."""
+    clv, scalers, pmatrix = _sweep_rt(
+        cfg, model, level_ops, pmat_slots, branch_lengths, tipchars)
+    return likelihood_ops.edge_loglikelihood(
+        clv[root_rows[0]], scalers[root_rows[1]],
+        clv[root_rows[2]], scalers[root_rows[3]],
+        pmatrix[root_slot], model.cat_freqs, model.rate_weights,
+        model.cat_pinv, invariant, pattern_weights, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rounds", "newton_iters"))
+def _smooth_rt(cfg: PartitionConfig, model, level_ops, edge_rows,
+               pmat_slots, branch_lengths, tipchars, pattern_weights,
+               invariant, color_masks, rounds: int = 2,
+               newton_iters: int = 8):
+    """Batched Newton branch smoothing with runtime topology (extended
+    cfg): engine.optimize_branch_lengths re-expressed over traced arrays
+    so SPR hill-climbs smooth without recompiling per topology.
+
+    color_masks: [4, E] bool — proper edge coloring as runtime data (a
+    binary tree needs ≤ 4 greedy colors; unused classes are all-False
+    no-ops)."""
+    dtype = cfg.dtype
+    evecs = model.eigenvecs[model.params_indices]
+    inv_evecs = model.inv_eigenvecs[model.params_indices]
+    evals = model.eigenvals[model.params_indices]
+
+    def optimize_class(bl, color_mask):
+        clv, scalers, _ = _sweep_rt(cfg, model, level_ops, pmat_slots,
+                                    bl, tipchars)
+
+        def per_edge(args):
+            rows, t0 = args
+            st = derivatives_ops.update_sumtable(
+                clv[rows[0]], clv[rows[2]], None, None, evecs, inv_evecs,
+                model.cat_freqs, cfg)
+
+            def newton_step(_, t):
+                d1, d2 = derivatives_ops.likelihood_derivatives(
+                    st, t, model.rates, evals, model.cat_pinv,
+                    model.rate_weights, model.cat_freqs, invariant,
+                    pattern_weights, cfg)
+                newton = t - d1 / d2
+                fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
+                t_new = jnp.where(d2 > 0, newton, fallback)
+                return jnp.clip(t_new, 1e-8, 100.0)
+
+            return jax.lax.fori_loop(0, newton_iters, newton_step, t0)
+
+        proposal = jax.lax.map(per_edge, (edge_rows, bl))
+        return jnp.where(color_mask, proposal, bl).astype(dtype)
+
+    def one_round(bl, _):
+        for c in range(4):
+            bl = optimize_class(bl, color_masks[c])
+        return bl, None
+
+    bl, _ = jax.lax.scan(one_round, branch_lengths, None, length=rounds)
+    return bl
+
+
+# --------------------------------------------------------------------------
+# host-side round driver
+# --------------------------------------------------------------------------
+
+
+def _aux_arrays(prog: SprProgram):
+    cfg = prog.cfg_ext
+    pw = np.zeros(cfg.sites_padded)
+    pw[:cfg.sites] = 1.0
+    inv = np.full(cfg.sites_padded, -1, np.int32)
+    return jnp.asarray(pw, cfg.dtype), jnp.asarray(inv)
+
+
+def _tipchars_for(prog: SprProgram,
+                  tipchars_by_label: Dict[str, np.ndarray]) -> jnp.ndarray:
+    cfg = prog.cfg_ext
+    tree = prog.tree
+    raw = np.zeros((tree.tip_count, cfg.sites_alloc), dtype=np.uint64)
+    for node in tree.nodes[:tree.tip_count]:
+        raw[node.clv_index] = \
+            tipchars_by_label[node.label][:cfg.sites_alloc]
+    return jnp.asarray(engine.pad_tipchars(raw, cfg))
+
+
+def _half_nodes(tree: UTree):
+    for node in tree.nodes:
+        if node.next is None:
+            yield node
+        else:
+            yield from node.roundabout()
+
+
+def spr_round(prog: SprProgram, model,
+              tipchars_by_label: Dict[str, np.ndarray],
+              *, newton_iters: int = 5, max_moves: Optional[int] = None,
+              eps: float = 1e-6, pattern_weights=None, invariant=None
+              ) -> Tuple[SprProgram, float, int]:
+    """One SPR round: score all pairs, apply all non-conflicting improving
+    moves, smooth nothing (see hill_climb for smoothing cadence).
+
+    Returns (new_program, logl, moves_applied); logl is exact for the
+    returned topology and monotone vs. the input's."""
+    cfg = prog.cfg_ext
+    tipchars = _tipchars_for(prog, tipchars_by_label)
+    pw_d, inv_d = _aux_arrays(prog)
+    if pattern_weights is not None:
+        pw_d = jnp.asarray(pattern_weights, cfg.dtype)
+    if invariant is not None:
+        inv_d = jnp.asarray(invariant)
+    bl = jnp.asarray(prog.branch_lengths, cfg.dtype)
+    lops = jnp.asarray(prog.level_ops)
+    erow = jnp.asarray(prog.edge_rows)
+    pslots = jnp.asarray(prog.pmatrix_slots)
+
+    logl0 = float(_logl_rt(cfg, model, lops, pslots, bl, tipchars, pw_d,
+                           inv_d, erow[prog.root_edge],
+                           pslots[prog.root_edge]))
+
+    scores, t3s = _spr_all_scores(
+        cfg, model, lops, erow, pslots, bl, tipchars, pw_d, inv_d,
+        jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_sub_rows),
+        jnp.asarray(prog.cand_gap_mask), jnp.asarray(prog.cand_edge_valid),
+        newton_iters=newton_iters)
+    scores = np.asarray(scores)
+    t3s = np.asarray(t3s)
+
+    # greedy non-conflicting improving move selection
+    C, E = scores.shape
+    flat = np.argsort(scores, axis=None)[::-1]
+    chosen: List[Tuple[int, int]] = []
+    used: set = set()
+    limit = max_moves if max_moves is not None else C
+    for f in flat:
+        c, e = divmod(int(f), E)
+        if scores[c, e] <= logl0 + eps or not np.isfinite(scores[c, e]):
+            break
+        region = prog.cand_affected[c] | set(prog.edge_endpoints[e])
+        if used & region:
+            continue
+        chosen.append((c, e))
+        used |= region
+        if len(chosen) >= limit:
+            break
+
+    if not chosen:
+        return prog, logl0, 0
+
+    def apply_moves(selection):
+        newick = export_newick(prog.tree.vroot, precision=None)
+        work = parse_newick_string(newick)
+        halves = {h.node_index: h for h in _half_nodes(work)}
+        for c, e in selection:
+            p = halves[int(prog.cand_prune_node[c])]
+            r = halves[int(prog.edge_node[e])]
+            moves.spr(p, r)
+            t3 = float(t3s[c, e])
+            p.length = p.back.length = t3
+        return parse_newick_string(
+            export_newick(work.vroot, precision=None))
+
+    bucket = prog.level_ops.shape[:2]
+    new_tree = apply_moves(chosen)
+    new_prog = compile_spr(new_tree, prog.cfg, min_level_shape=bucket)
+
+    if len(chosen) == 1:
+        # the single-move score is the exact post-move likelihood
+        return new_prog, float(scores[chosen[0]]), 1
+
+    # verify the batch exactly; fall back to the single best move if the
+    # combined application interacted destructively
+    tip_n = _tipchars_for(new_prog, tipchars_by_label)
+    logl_batch = float(_logl_rt(
+        cfg, model, jnp.asarray(new_prog.level_ops),
+        jnp.asarray(new_prog.pmatrix_slots),
+        jnp.asarray(new_prog.branch_lengths, cfg.dtype), tip_n, pw_d,
+        inv_d, jnp.asarray(new_prog.edge_rows)[new_prog.root_edge],
+        jnp.asarray(new_prog.pmatrix_slots)[new_prog.root_edge]))
+    best_single = float(scores[chosen[0]])
+    if logl_batch >= best_single - eps:
+        return new_prog, logl_batch, len(chosen)
+    single_tree = apply_moves(chosen[:1])
+    return (compile_spr(single_tree, prog.cfg, min_level_shape=bucket),
+            best_single, 1)
+
+
+def smooth_branches(prog: SprProgram, model,
+                    tipchars_by_label: Dict[str, np.ndarray],
+                    *, rounds: int = 2, newton_iters: int = 8,
+                    pattern_weights=None, invariant=None) -> SprProgram:
+    """Batched Newton smoothing of all branch lengths (runtime topology);
+    returns a program with updated branch_lengths (tree lengths synced)."""
+    cfg = prog.cfg_ext
+    tipchars = _tipchars_for(prog, tipchars_by_label)
+    pw_d, inv_d = _aux_arrays(prog)
+    if pattern_weights is not None:
+        pw_d = jnp.asarray(pattern_weights, cfg.dtype)
+    if invariant is not None:
+        inv_d = jnp.asarray(invariant)
+    bl = _smooth_rt(
+        cfg, model, jnp.asarray(prog.level_ops),
+        jnp.asarray(prog.edge_rows), jnp.asarray(prog.pmatrix_slots),
+        jnp.asarray(prog.branch_lengths, cfg.dtype), tipchars, pw_d, inv_d,
+        jnp.asarray(prog.color_masks), rounds=rounds,
+        newton_iters=newton_iters)
+    bl = np.asarray(bl, np.float64)
+    # write back into the tree so later exports carry the new lengths
+    pm_to_len = {int(p): float(t) for p, t in zip(prog.pmatrix_slots, bl)}
+    for h in _half_nodes(prog.tree):
+        h.length = pm_to_len[h.pmatrix_index]
+    return dataclasses.replace(prog, branch_lengths=bl)
+
+
+def hill_climb(tree: UTree, cfg: PartitionConfig, model,
+               tipchars_by_label: Dict[str, np.ndarray],
+               *, max_rounds: int = 30, newton_iters: int = 5,
+               smooth_every: int = 2, smooth_rounds: int = 2,
+               eps: float = 1e-6) -> Tuple[UTree, float, dict]:
+    """Full SPR hill-climb: rounds of batched moves until no improvement.
+
+    Returns (tree, logl, stats) with stats = {"rounds", "moves",
+    "logl_trace"}; logl_trace is monotone non-decreasing."""
+    prog = compile_spr(tree, cfg)
+    trace: List[float] = []
+    total_moves = 0
+    rounds = 0
+    for r in range(max_rounds):
+        prog, logl, applied = spr_round(
+            prog, model, tipchars_by_label, newton_iters=newton_iters,
+            eps=eps)
+        trace.append(logl)
+        rounds += 1
+        total_moves += applied
+        if applied == 0:
+            break
+        if smooth_every and (r + 1) % smooth_every == 0:
+            prog = smooth_branches(prog, model, tipchars_by_label,
+                                   rounds=smooth_rounds)
+    if smooth_every:
+        prog = smooth_branches(prog, model, tipchars_by_label,
+                               rounds=smooth_rounds)
+    tipchars = _tipchars_for(prog, tipchars_by_label)
+    pw_d, inv_d = _aux_arrays(prog)
+    cfg_ext = prog.cfg_ext
+    pslots = jnp.asarray(prog.pmatrix_slots)
+    logl = float(_logl_rt(
+        cfg_ext, model, jnp.asarray(prog.level_ops), pslots,
+        jnp.asarray(prog.branch_lengths, cfg_ext.dtype), tipchars, pw_d,
+        inv_d, jnp.asarray(prog.edge_rows)[prog.root_edge],
+        pslots[prog.root_edge]))
+    trace.append(logl)
+    return prog.tree, logl, {"rounds": rounds, "moves": total_moves,
+                             "logl_trace": trace}

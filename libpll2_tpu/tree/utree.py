@@ -261,12 +261,19 @@ def wrap_tree(root: UNode, binary_required: bool = True) -> UTree:
 # newick export (utree.c:250-315)
 # --------------------------------------------------------------------------
 
-def _format_length(length: float) -> str:
-    return f"{length:f}"
+def _format_length(length: float, precision: Optional[int]) -> str:
+    if precision is None:
+        return repr(float(length))        # shortest exact roundtrip
+    return f"{length:.{precision}f}"
 
 
-def export_newick(root: UNode, with_lengths: bool = True) -> str:
-    """Serialize the unrooted tree from a (virtual) root node."""
+def export_newick(root: UNode, with_lengths: bool = True,
+                  precision: Optional[int] = 6) -> str:
+    """Serialize the unrooted tree from a (virtual) root node.
+
+    precision: decimal places for branch lengths ("%f" of the reference's
+    pll_utree_export_newick = 6); None = full-precision repr (exact float
+    roundtrip, used by tree search so lengths survive re-parsing)."""
 
     def subtree(node: UNode) -> str:
         if node.next is None:
@@ -279,7 +286,7 @@ def export_newick(root: UNode, with_lengths: bool = True) -> str:
                 snode = snode.next
             s = "(" + ",".join(kids) + ")" + (node.label or "")
         if with_lengths:
-            s += ":" + _format_length(node.length)
+            s += ":" + _format_length(node.length, precision)
         return s
 
     if root.next is None:

@@ -1,0 +1,145 @@
+"""Fast (runtime-topology, cache-hitting) SPR search.
+
+Pins the three claims search_fast makes:
+  1. every (prune, regraft) score equals the EXACT log-likelihood of the
+     post-move topology (the gap-tip remainder identity + SPR branch
+     semantics of utree_moves.c:119-254);
+  2. a hill-climb's logL trace is monotone and ends at least as high as
+     the legacy per-candidate-compile search (search.ml_spr_round);
+  3. every device program compiles exactly ONCE across all rounds and
+     topologies (jit cache hits — the whole point of runtime topology).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+import libpll2_tpu as pll
+from libpll2_tpu import engine, search_fast
+from libpll2_tpu import tree as T
+from libpll2_tpu.config import PartitionConfig
+from libpll2_tpu.tree import moves, parse_newick_string
+from libpll2_tpu.tree.utree import export_newick
+
+from .test_parity_tree import random_newick
+from .test_search import FREQS, SUBST, simulate
+
+
+def _setup(n_tips=7, sites=120, seed=5, scramble_seed=23):
+    rng = np.random.default_rng(seed)
+    rates = pll.compute_gamma_cats(0.8, 4)
+    true_tree = T.parse_newick_string(random_newick(n_tips, rng))
+    seqs = simulate(true_tree, sites, rng, rates)
+    chars = {lab: (1 << s.astype(np.uint64)) for lab, s in seqs.items()}
+    labels = sorted(seqs)
+    rng2 = np.random.default_rng(scramble_seed)
+    start = T.parse_newick_string(random_newick(n_tips, rng2))
+    relabel = dict(zip(sorted(n.label for n in start.nodes[:n_tips]),
+                       labels))
+    for n in start.nodes[:n_tips]:
+        n.label = relabel[n.label]
+    cfg = PartitionConfig(
+        tips=n_tips, clv_buffers=start.inner_count, states=4, sites=sites,
+        rate_matrices=1, prob_matrices=2 * n_tips - 3, rate_cats=4,
+        scale_buffers=start.inner_count, dtype=jnp.float64)
+    model = engine.make_model([SUBST], [FREQS], rates, dtype=jnp.float64)
+    return start, cfg, model, chars
+
+
+def _exact_logl(tree, cfg, model, chars):
+    """Reference evaluation: static-program engine logL of a topology."""
+    import dataclasses
+    cfg0 = dataclasses.replace(
+        cfg, tips=tree.tip_count, clv_buffers=tree.inner_count,
+        prob_matrices=2 * tree.tip_count - 3,
+        scale_buffers=tree.inner_count)
+    program = engine.compile_tree(tree, cfg0)
+    raw = np.zeros((tree.tip_count, cfg0.sites_alloc), dtype=np.uint64)
+    for n in tree.nodes[:tree.tip_count]:
+        raw[n.clv_index] = chars[n.label][:cfg0.sites_alloc]
+    tipchars = jnp.asarray(engine.pad_tipchars(raw, cfg0))
+    pw = np.zeros(cfg0.sites_padded)
+    pw[:cfg0.sites] = 1.0
+    inv = jnp.asarray(np.full(cfg0.sites_padded, -1, np.int32))
+    bl = jnp.asarray(program.default_branch_lengths, cfg0.dtype)
+    return float(engine.loglikelihood(
+        program, cfg0, model, bl, tipchars, jnp.asarray(pw, cfg0.dtype),
+        inv))
+
+
+def test_spr_scores_are_exact_postmove_likelihoods():
+    start, cfg, model, chars = _setup()
+    prog = search_fast.compile_spr(start, cfg)
+    cfg_ext = prog.cfg_ext
+    tipchars = search_fast._tipchars_for(prog, chars)
+    pw, inv = search_fast._aux_arrays(prog)
+    bl = jnp.asarray(prog.branch_lengths, cfg_ext.dtype)
+
+    scores, t3s = search_fast._spr_all_scores(
+        cfg_ext, model, jnp.asarray(prog.level_ops),
+        jnp.asarray(prog.edge_rows), jnp.asarray(prog.pmatrix_slots),
+        bl, tipchars, pw, inv,
+        jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_sub_rows),
+        jnp.asarray(prog.cand_gap_mask),
+        jnp.asarray(prog.cand_edge_valid), newton_iters=0)
+    scores = np.asarray(scores)
+
+    # check a spread of valid (candidate, edge) pairs against the static
+    # engine's likelihood of the actually-applied move
+    checked = 0
+    rng = np.random.default_rng(0)
+    C, E = scores.shape
+    pairs = [(c, e) for c in range(C) for e in range(E)
+             if prog.cand_edge_valid[c, e]]
+    for c, e in rng.permutation(pairs)[:10]:
+        newick = export_newick(prog.tree.vroot, precision=None)
+        work = parse_newick_string(newick)
+        halves = {h.node_index: h
+                  for h in search_fast._half_nodes(work)}
+        p = halves[int(prog.cand_prune_node[c])]
+        r = halves[int(prog.edge_node[e])]
+        moves.spr(p, r)
+        new_tree = parse_newick_string(
+            export_newick(work.vroot, precision=None))
+        want = _exact_logl(new_tree, cfg, model, chars)
+        assert abs(scores[c, e] - want) < 1e-6, (c, e, scores[c, e], want)
+        checked += 1
+    assert checked == 10
+
+    # invalid pairs are masked out
+    assert np.all(np.isneginf(scores[~prog.cand_edge_valid]))
+
+
+def test_hill_climb_monotone_beats_legacy_and_caches():
+    start, cfg, model, chars = _setup(n_tips=8, sites=200, seed=17,
+                                      scramble_seed=99)
+    scores_compiles0 = search_fast._spr_all_scores._cache_size()
+
+    tree, logl, stats = search_fast.hill_climb(
+        start, cfg, model, chars, max_rounds=10)
+
+    # monotone non-decreasing trace (each round's logL is exact)
+    trace = stats["logl_trace"]
+    for a, b in zip(trace, trace[1:]):
+        assert b >= a - 1e-9, trace
+    assert stats["moves"] >= 1
+
+    # runtime topology => one compile per program across all rounds
+    assert (search_fast._spr_all_scores._cache_size()
+            - scores_compiles0) == 1
+    assert search_fast._logl_rt._cache_size() <= 2
+    assert search_fast._smooth_rt._cache_size() <= 2
+
+    # at least as good as the legacy (per-topology-compile) search
+    from libpll2_tpu import search
+    legacy = start
+    legacy_logl = None
+    for _ in range(10):
+        legacy, legacy_logl, improved = search.ml_spr_round(
+            legacy, cfg, model, chars)
+        if not improved:
+            break
+    assert logl >= legacy_logl - 1e-6
+
+    # same taxa, valid binary topology
+    labels = sorted(chars)
+    assert sorted(n.label for n in tree.nodes[:8]) == labels
+    assert tree.binary
