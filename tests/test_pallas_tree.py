@@ -157,3 +157,43 @@ def test_balanced_pool_logarithmic():
         scale_buffers=tree.inner_count, dtype=jnp.float32)
     program = engine.compile_tree(tree, cfg)
     assert program.vmem_prog.pool_size <= 12
+
+
+@pytest.mark.parametrize("precision", ["highest", "high", "default"])
+def test_splitk_matches_xla(precision):
+    """Split-K mode: all precision-term stacks agree with the f32 XLA
+    path to their stated quality (scalers bit-equal; CLVs compared
+    relative to each site's magnitude — tiny components of a CLV can
+    differ at bf16 granularity without affecting any likelihood)."""
+    import dataclasses
+    rng = np.random.default_rng(11)
+    newick = random_newick(24, rng)
+    tree, cfg, program, tipchars, pmats = build(newick, 384, 11)
+    cfg = dataclasses.replace(cfg, pallas_precision=precision)
+    clv_x, scal_x = run_xla(cfg, program, tipchars, pmats)
+    prog = program.vmem_prog
+    tb = 128
+    nt = cfg.sites_padded // tb
+    tip_b = jnp.transpose(
+        tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
+    clv_rows, scal_rows = ppt.sweep(tip_b, pmats, prog, cfg, tb,
+                                    mode="splitk", interpret=True)
+    tol = {"highest": 5e-6, "high": 2e-4, "default": 6e-2}[precision]
+    for clv_idx, row in prog.export_clv_map.items():
+        got = np.asarray(ppt.unblock_clv_row(clv_rows[row])).astype(
+            np.float64)
+        want = np.asarray(clv_x[clv_idx]).astype(np.float64)
+        mag = np.maximum(np.max(want, axis=(0, 1), keepdims=True), 1e-300)
+        assert float(np.max(np.abs(got - want) / mag)) < tol
+    if precision == "highest":
+        for sidx, row in prog.export_scaler_map.items():
+            got = np.asarray(ppt.unblock_scaler_row(scal_rows[row]))
+            np.testing.assert_array_equal(got, np.asarray(scal_x[sidx]))
+
+
+def test_choose_prefers_splitk():
+    tree, cfg, program, tipchars, pmats = build(caterpillar_newick(16),
+                                                256, 0)
+    choice = ppt.choose(program.vmem_prog, cfg,
+                        int(program.pmatrix_indices.max()) + 1)
+    assert choice is not None and choice[1] == "splitk"
