@@ -221,8 +221,12 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
         nt = cfg.sites_padded // tb
         tip_b = jnp.transpose(
             tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
-        clv_rows, scal_rows = partials_pallas_tree.sweep(
-            tip_b, pmatrix, program.vmem_prog, cfg, tb, mode=mode)
+        if mode == "static":
+            clv_rows, scal_rows = partials_pallas_tree.sweep_static(
+                tip_b, pmatrix, program.vmem_prog, cfg, tb)
+        else:
+            clv_rows, scal_rows = partials_pallas_tree.sweep(
+                tip_b, pmatrix, program.vmem_prog, cfg, tb, mode=mode)
         return _TreeView(clv_rows, scal_rows, program.vmem_prog,
                          tipchars, cfg), pmatrix
 
@@ -315,6 +319,8 @@ class _TreeView:
         if index in self._prog.export_scaler_map:
             row = self._scal_rows[self._prog.export_scaler_map[index]]
             return partials_pallas_tree.unblock_scaler_row(row)
+        if cfg.per_rate_scalers and self._scal_rows.shape[-2] > 1:
+            return jnp.zeros((cfg.rate_cats, cfg.sites_padded), jnp.int32)
         return jnp.zeros(cfg.sites_padded, jnp.int32)
 
 
@@ -386,13 +392,15 @@ def optimize_root_branch(program: TreeProgram, cfg: PartitionConfig,
 
     if cfg.per_rate_scalers:
         sp, sc = rs, rbs
+        asc_scalers = None
     else:
         sp = sc = jnp.zeros((cfg.rate_cats, 1), jnp.int32)
+        asc_scalers = rs + rbs
     sumtable = derivatives_ops.update_sumtable(
         root_clv, root_back_clv, sp, sc,
         model.eigenvecs[model.params_indices],
         model.inv_eigenvecs[model.params_indices],
-        model.cat_freqs, cfg)
+        model.cat_freqs, cfg, asc_scalers=asc_scalers)
 
     # position of the root branch in the branch_lengths vector
     root_pos = int(np.nonzero(
@@ -592,6 +600,17 @@ def compile_tree_full(tree: UTree, cfg: PartitionConfig) -> FullTreeProgram:
     )
 
 
+def _asc_scalers(scalers, rows, cfg: PartitionConfig):
+    """Per-site scaler sum of an edge for the asc-bias phantom-column fold
+    in update_sumtable (core_derivatives.c:884-892).  None when the
+    correction does not need absolute phantom likelihoods."""
+    from .constants import AB_FELSENSTEIN, AB_LEWIS
+    if cfg.asc_bias in (AB_LEWIS, AB_FELSENSTEIN) \
+            and not cfg.per_rate_scalers:
+        return scalers[rows[1]] + scalers[rows[3]]
+    return None
+
+
 def _sweep_all(program: FullTreeProgram, cfg: PartitionConfig, model: Model,
                branch_lengths, tipchars):
     """Compute all directional messages; returns (clv, scalers, pmatrix)."""
@@ -658,7 +677,8 @@ def optimize_branch_lengths(program: FullTreeProgram, cfg: PartitionConfig,
                       if cfg.per_rate_scalers else (sp_zero, sp_zero))
             st = derivatives_ops.update_sumtable(
                 clvp, clvc, sp, sc, evecs, inv_evecs,
-                model.cat_freqs, cfg)
+                model.cat_freqs, cfg,
+                asc_scalers=_asc_scalers(scalers, rows, cfg))
 
             def newton_step(_, t):
                 d1, d2 = derivatives_ops.likelihood_derivatives(
@@ -767,7 +787,8 @@ def branch_derivatives(program: FullTreeProgram, cfg: PartitionConfig,
                   if cfg.per_rate_scalers else (sp_zero, sp_zero))
         st = derivatives_ops.update_sumtable(
             clv[rows[0]], clv[rows[2]], sp, sc, evecs, inv_evecs,
-            model.cat_freqs, cfg)
+            model.cat_freqs, cfg,
+            asc_scalers=_asc_scalers(scalers, rows, cfg))
         return derivatives_ops.likelihood_derivatives(
             st, t, model.rates, model.eigenvals[model.params_indices],
             model.cat_pinv, model.rate_weights, model.cat_freqs, invariant,
@@ -933,11 +954,18 @@ loglikelihood_analytic.defvjp(_lla_fwd, _lla_bwd)
 
 
 def pad_tipchars(tipchars: np.ndarray, cfg: PartitionConfig) -> np.ndarray:
-    """Pad encoded tip characters [tips, sites_alloc] (bitmask) to the
-    engine's [tips, T] int32 input (padding columns = gap state so padded
-    CLV entries are 1.0 and inert under scaling checks)."""
-    from .constants import gap_state
+    """Pad encoded tip characters [tips, sites or sites_alloc] (bitmask) to
+    the engine's [tips, T] int32 input (padding columns = gap state so
+    padded CLV entries are 1.0 and inert under scaling checks).
+
+    Under ascertainment bias the phantom per-state columns are stamped with
+    pure states (phantom site j observes state j at every tip,
+    pll.c:1006-1018) whether or not the input carries them."""
+    from .constants import AB_NONE, gap_state
     out = np.full((cfg.tips, cfg.sites_padded), gap_state(cfg.states),
                   dtype=np.int32)
     out[:, :tipchars.shape[1]] = tipchars.astype(np.int32)
+    if cfg.asc_bias != AB_NONE:
+        out[:, cfg.sites:cfg.sites + cfg.states] = \
+            1 << np.arange(cfg.states, dtype=np.int32)
     return out

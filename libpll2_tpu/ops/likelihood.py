@@ -56,7 +56,10 @@ def asc_bias_correction(term, site_scalings, pattern_weights,
     sc_ph = site_scalings[s0:s0 + S].astype(dtype)
     w_ph = pattern_weights[s0:s0 + S].astype(dtype)
     if cfg.asc_bias == AB_STAMATAKIS:
-        return jnp.sum(w_ph * (jnp.log(t_ph) + sc_ph * log_thresh))
+        # the reference adds the scaler correction UNWEIGHTED (site_lk =
+        # w*log(term); then += scale_factors*log(thresh) — likelihood.c:
+        # 97-101); replicate exactly, weights on the log-likelihood only
+        return jnp.sum(w_ph * jnp.log(t_ph) + sc_ph * log_thresh)
     base = jnp.sum(t_ph * jnp.exp(sc_ph * log_thresh))
     if cfg.asc_bias == AB_LEWIS:
         sum_w = jnp.sum(jnp.where(jnp.asarray(_real_site_mask(cfg)),
