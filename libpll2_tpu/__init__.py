@@ -17,7 +17,9 @@ from .config import PartitionConfig
 from .constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
                         GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN, MAP_AA,
                         MAP_BIN, MAP_GT10, MAP_GT16, MAP_NT, MAPS,
-                        SCALE_BUFFER_NONE)
+                        SCALE_BUFFER_NONE, SHOW_BRANCH_LENGTH,
+                        SHOW_CLV_INDEX, SHOW_LABEL, SHOW_PMATRIX_INDEX,
+                        SHOW_SCALER_INDEX)
 from .models.gamma import compute_gamma_cats
 from .models.ratematrix import update_eigen
 from .parsimony import FastParsimony, ParsBuildOp, Parsimony, ParsRecOp

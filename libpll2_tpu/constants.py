@@ -39,6 +39,13 @@ AB_STAMATAKIS = 3
 TRAVERSE_POSTORDER = 1
 TRAVERSE_PREORDER = 2
 
+# ASCII tree render options (pll.h:194-199, PLL_UTREE_SHOW_*)
+SHOW_LABEL = 1 << 0
+SHOW_BRANCH_LENGTH = 1 << 1
+SHOW_CLV_INDEX = 1 << 2
+SHOW_SCALER_INDEX = 1 << 3
+SHOW_PMATRIX_INDEX = 1 << 4
+
 # --- character-state maps ---------------------------------------------------
 # Built programmatically; semantics equal to the reference tables
 # (maps.c:26-265): value is a bitmask over states, 0 = illegal char.

@@ -8,10 +8,11 @@ from .rtree import (RNode, RTree, export_rtree_newick, parse_rtree,
 from .svg import SvgAttrib, export_svg
 from .utree import (UNode, UTree, check_integrity, clone_graph,
                     create_operations, create_pars_buildops, export_newick,
-                    reset_template_indices, traverse, wrap_tree)
+                    reset_template_indices, show_ascii, traverse, wrap_tree)
 
 __all__ = [
     "UNode", "UTree", "traverse", "create_operations", "export_newick",
+    "show_ascii",
     "reset_template_indices", "wrap_tree", "clone_graph", "check_integrity",
     "create_pars_buildops",
     "parse_newick", "parse_newick_rooted", "parse_newick_unroot",

@@ -300,6 +300,83 @@ def export_newick(root: UNode, with_lengths: bool = True,
 
 
 # --------------------------------------------------------------------------
+# ASCII render (pll_utree_show_ascii, utree.c:132-160)
+# --------------------------------------------------------------------------
+
+_INDENT_SPACE = 4
+
+
+def _ascii_node_info(node: UNode, options: int) -> str:
+    from ..constants import (SHOW_BRANCH_LENGTH, SHOW_CLV_INDEX, SHOW_LABEL,
+                             SHOW_PMATRIX_INDEX, SHOW_SCALER_INDEX)
+    s = ""
+    if options & SHOW_LABEL:
+        # the reference printf("%s", NULL) on unlabeled inner nodes; glibc
+        # renders that as "(null)" — byte parity keeps it
+        s += " " + (node.label if node.label is not None else "(null)")
+    if options & SHOW_BRANCH_LENGTH:
+        s += f" {node.length:f}"
+    if options & SHOW_CLV_INDEX:
+        s += f" {node.clv_index}"
+    if options & SHOW_SCALER_INDEX:
+        s += f" {node.scaler_index}"
+    if options & SHOW_PMATRIX_INDEX:
+        s += f" {node.pmatrix_index}"
+    return s
+
+
+def show_ascii(root: UNode, options: int = 0b11) -> str:
+    """Render the unrooted tree as ASCII art, byte-identical to
+    pll_utree_show_ascii (utree.c:132-160) which prints to stdout; here the
+    text is returned (print() it for the reference behavior)."""
+    if root.next is None:
+        root = root.back
+
+    def indent_level(node: UNode, indent: int) -> int:
+        if node.next is None:
+            return indent + 1
+        snode = node.next
+        ind = 0
+        while snode is not node:
+            ind = max(ind, indent_level(snode.back, indent + 1))
+            snode = snode.next
+        return ind
+
+    max_indent = max(indent_level(root.back, 1), indent_level(root, 0))
+    active = [0] * (max_indent + 1)
+    active[0] = active[1] = 1
+    out: List[str] = []
+    pad = " " * (_INDENT_SPACE - 1)
+
+    def rec(node: UNode, indent: int) -> None:
+        out.append("".join(("|" if active[i] else " ") + pad
+                           for i in range(indent)))
+        line = "".join(("|" if active[i] else " ") + pad
+                       for i in range(indent - 1))
+        line += "+" + "-" * (_INDENT_SPACE - 1)
+        if node.next is not None:
+            line += "+"
+        out.append(line + _ascii_node_info(node, options))
+        if active[indent - 1] == 2:
+            active[indent - 1] = 0
+        if node.next is not None:
+            snode = node.next
+            while snode is not node:
+                active[indent] = 2 if snode.next is node else 1
+                rec(snode.back, indent + 1)
+                snode = snode.next
+
+    node = root
+    while True:
+        active[0] = 2 if node.next is root else 1
+        rec(node.back, 1)
+        node = node.next
+        if node is root:
+            break
+    return "\n".join(out) + "\n"
+
+
+# --------------------------------------------------------------------------
 # structural helpers
 # --------------------------------------------------------------------------
 

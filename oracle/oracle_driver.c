@@ -72,6 +72,99 @@ static pll_state_t odd5_map[256];
 static pll_parsimony_t *spars = NULL;       /* Sankoff instance */
 static pll_parsimony_t *fpars = NULL;       /* Fitch instance */
 static pll_utree_t *stepwise_tree = NULL;   /* last stepwise result */
+
+/* --- minimal newick -> unode graph (test scaffolding for ascii_utree;
+ *     the reference's own parser is bison/flex, unbuildable here) ------ */
+
+static pll_unode_t *ascii_alloc_node(void)
+{
+  pll_unode_t *n = (pll_unode_t *)calloc(1, sizeof(pll_unode_t));
+  return n;
+}
+
+static char *ascii_read_label(const char **s)
+{
+  const char *p = *s;
+  while (**s && !strchr("():,;", **s)) (*s)++;
+  if (*s == p) return NULL;
+  char *lab = (char *)malloc((size_t)(*s - p) + 1);
+  memcpy(lab, p, (size_t)(*s - p));
+  lab[*s - p] = 0;
+  return lab;
+}
+
+static double ascii_read_length(const char **s)
+{
+  if (**s != ':') return 0.0;
+  (*s)++;
+  char *end;
+  double v = strtod(*s, &end);
+  *s = end;
+  return v;
+}
+
+/* returns the child-side half-node (caller links ->back) */
+static pll_unode_t *ascii_subtree(const char **s)
+{
+  pll_unode_t *n;
+  if (**s == '(')
+  {
+    (*s)++;
+    pll_unode_t *kids[64];
+    int k = 0;
+    kids[k++] = ascii_subtree(s);
+    while (**s == ',') { (*s)++; kids[k++] = ascii_subtree(s); }
+    if (**s == ')') (*s)++;
+    char *label = ascii_read_label(s);
+    pll_unode_t *ring[65];
+    int i;
+    for (i = 0; i < k + 1; ++i) ring[i] = ascii_alloc_node();
+    for (i = 0; i < k + 1; ++i)
+      ring[i]->next = ring[(i + 1) % (k + 1)];
+    /* label only on the rendered (up) half: graph_destroy frees labels
+       per half-node, so sharing one pointer would double-free */
+    ring[0]->label = label;
+    for (i = 0; i < k; ++i)
+    {
+      ring[i + 1]->back = kids[i];
+      kids[i]->back = ring[i + 1];
+      ring[i + 1]->length = kids[i]->length;
+    }
+    n = ring[0];
+  }
+  else
+  {
+    n = ascii_alloc_node();
+    n->label = ascii_read_label(s);
+  }
+  n->length = ascii_read_length(s);
+  return n;
+}
+
+static pll_unode_t *ascii_parse_newick(const char *s)
+{
+  if (*s != '(') return NULL;
+  s++;
+  pll_unode_t *kids[64];
+  int k = 0;
+  kids[k++] = ascii_subtree(&s);
+  while (*s == ',') { s++; kids[k++] = ascii_subtree(&s); }
+  if (*s == ')') s++;
+  char *label = ascii_read_label(&s);
+  ascii_read_length(&s);
+  pll_unode_t *ring[64];
+  int i;
+  for (i = 0; i < k; ++i) ring[i] = ascii_alloc_node();
+  ring[0]->label = label;
+  for (i = 0; i < k; ++i)
+  {
+    ring[i]->next = ring[(i + 1) % k];
+    ring[i]->back = kids[i];
+    kids[i]->back = ring[i];
+    ring[i]->length = kids[i]->length;
+  }
+  return ring[0];
+}
 static pll_pars_buildop_t parsops[MAXOPS];
 static unsigned int nparsops = 0;
 static pll_pars_recop_t recops[MAXOPS];
@@ -588,6 +681,27 @@ int main(void)
           h = h->next;
         } while (h && h != node);
       }
+    }
+    else if (!strcmp(cmd, "ascii_utree"))
+    {
+      /* ascii_utree <options> <newick>: build the node graph (minimal
+         parser below — the reference's bison grammar needs flex/bison,
+         unavailable here) and render via the REFERENCE
+         pll_utree_show_ascii, between marker lines (raw stdout).
+         Ring convention mirrors parse_utree.y: entry half-node backs the
+         first child, siblings follow in input order. */
+      int options; int off = 0;
+      sscanf(rest, "%d%n", &options, &off);
+      const char *nwk = rest + off;
+      while (*nwk == ' ' || *nwk == '\t') nwk++;
+      pll_unode_t *root = ascii_parse_newick(nwk);
+      if (!root) die("ascii_utree parse");
+      printf("ascii_begin\n");
+      fflush(stdout);
+      pll_utree_show_ascii(root, options);
+      fflush(stdout);
+      printf("ascii_end\n");
+      pll_utree_graph_destroy(root, NULL);
     }
     else if (!strcmp(cmd, "svg"))
     {
