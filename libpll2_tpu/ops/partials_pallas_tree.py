@@ -69,6 +69,11 @@ OP_COLS = 9
 
 VMEM_BUDGET = 96 * 1024 * 1024
 
+# caps for the unrolled (topology-specialized) kernel: compile memory and
+# time scale with n_ops (superlinearly) and with site block size
+STATIC_MAX_OPS = 512
+STATIC_MAX_TB = 4096
+
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class TreeVmemProgram:
@@ -269,6 +274,17 @@ SPLIT_TERMS = {
     3: ((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (2, 0)),
 }
 
+# term order for the STATIC kernel: j=0 terms first, so the P operand's
+# leading `parts` column blocks are [P_0 P_1 ... ] — exactly the K-slice a
+# TIP child needs (tip CLVs are exact 0/1 in bf16, so c_0 = tip, c_{>0} =
+# 0, and stacking `parts` copies of the tip against that prefix f32-sums
+# the full-precision P @ tip in ONE short-K pass)
+STATIC_TERMS = {
+    1: ((0, 0),),
+    2: ((0, 0), (1, 0), (0, 1)),
+    3: ((0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (0, 2)),
+}
+
 PRECISION_PARTS = {"highest": 3, "high": 2, "default": 1}
 
 
@@ -285,6 +301,8 @@ def vmem_bytes(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
     span = cfg.rate_cats * cfg.states
     spool = prog.pool_size * tb * 4
     tipblk = 2 * cfg.tips * tb * 4                      # double-buffered
+    if mode == "static":
+        return vmem_bytes_static(prog, cfg, tb, num_pmatrices)
     if mode == "splitk":
         parts = _parts_for(cfg)
         n_terms = len(SPLIT_TERMS[parts])
@@ -325,13 +343,25 @@ def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
     broadcast-fma form."""
     if prog is None or prog.n_ops == 0:
         return None
-    if cfg.per_rate_scalers:
-        return None
     if cfg.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     span = cfg.rate_cats * cfg.states
     itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
     parts = _parts_for(cfg)
+    # topology-specialized kernel first: fastest, and the only kernel
+    # with per-rate-scaler support.  Bounded op count keeps the unrolled
+    # Mosaic program to a sane compile time.
+    if (len(STATIC_TERMS[parts]) * span <= 128
+            and prog.n_ops <= STATIC_MAX_OPS):
+        # site block capped: Mosaic compile memory/time scales with
+        # n_ops x tb for the unrolled program (16k blocks OOM the
+        # compiler at ~250 ops)
+        tb = pick_site_block(prog, cfg, num_pmatrices, "static",
+                             target=STATIC_MAX_TB)
+        if tb >= 128:
+            return tb, "static"
+    if cfg.per_rate_scalers:
+        return None
     if len(SPLIT_TERMS[parts]) * span <= 128:
         tb = pick_site_block(prog, cfg, num_pmatrices, "splitk")
         if tb >= 128:
@@ -667,6 +697,217 @@ def sweep(tip_blocked, pmatrix, prog: TreeVmemProgram, cfg: PartitionConfig,
     return clv_rows, scal_rows
 
 
+# --------------------------------------------------------------------------
+# Topology-specialized (static) kernel — the fastest path
+# --------------------------------------------------------------------------
+#
+# The runtime-ops kernel above reads each operation row from SMEM and
+# resolves tip-vs-inner children with whole-slab selects; profiling on TPU
+# v5e shows those per-op VPU costs (selects + the stack-concatenate), not
+# the MXU passes, bound its throughput (~2x gap between parts=3 and
+# parts=1 at identical op counts).  Engine-level jit already specializes
+# per topology (TreeProgram is a static argument), so nothing is lost by
+# specializing the KERNEL too: unroll the op list in the kernel body with
+# every slot/tip/pmatrix index a Python constant.  Gains:
+#   * no scalar-prefetch loads, no is_tip selects — tips expand bits only
+#     where a child really is a tip;
+#   * the CLV slot pool stores slabs ALREADY STACKED in term order
+#     [n_terms*span, TB], so the matmul operand is one direct static read
+#     (write amplification parts->n_terms, but it replaces a read+concat
+#     round trip per consumer);
+#   * tip children run a SHORT matmul: K = parts*span against the P
+#     operand's leading blocks (STATIC_TERMS comment above) — exact f32
+#     since tip entries are 0/1;
+#   * per-rate scalers come for free (the rescue test reshapes to
+#     [R, S, TB] and masks per rate — core_likelihood.c:445-491 protocol).
+#
+# The runtime-ops kernel stays: it is the one that caches across
+# topologies for search workloads.
+
+
+def _split_pmatrix_terms_static(pmatrix, parts: int):
+    """[P, R, S, S] f32 -> [P, span, n_terms*span] bf16, STATIC_TERMS order."""
+    bd = _block_diag_pmatrix(pmatrix.astype(jnp.float32), jnp.float32)
+    p_parts = _bf16_splits(bd, parts)
+    return jnp.concatenate(
+        [p_parts[i] for i, _ in STATIC_TERMS[parts]], axis=2)
+
+
+def _tree_kernel_static(pmat_ref,              # [P, span, T*span] bf16 VMEM
+                        tip_ref,               # [1, tips, TB] VMEM
+                        clv_out, scal_out,     # HBM outputs (manual DMA)
+                        pool, spool, exp_buf, exp_sems,
+                        *, rows: tuple, states: int, rates: int,
+                        parts: int, per_rate: bool,
+                        thresh: float, factor: float, exports: tuple):
+    """One unrolled pass over all ops for one site block.
+
+    pool: [slots, n_terms*span, TB] bf16 — stacked term operands.
+    spool: [slots, SR, TB] int32, SR = rates if per_rate else 1.
+    exp_buf: [n_exp, span, TB] f32."""
+    t = pl.program_id(0)
+    tb = tip_ref.shape[-1]
+    span = rates * states
+    terms = STATIC_TERMS[parts]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (states, tb), 0)
+    export_at = {op_idx: (e, slot)
+                 for e, (op_idx, slot) in enumerate(exports)}
+    started = []
+
+    def child(tip_idx, slot, is_tip, pm):
+        if is_tip:
+            tiprow = tip_ref[0, tip_idx]                  # [TB] int32
+            bits = ((tiprow[None, :] >> iota) & 1).astype(jnp.bfloat16)
+            tipc = jnp.broadcast_to(bits[None],
+                                    (rates, states, tb)).reshape(span, tb)
+            operand = jnp.broadcast_to(
+                tipc[None], (parts, span, tb)).reshape(parts * span, tb)
+            pcols = pmat_ref[pm][:, :parts * span]
+            return pcols, operand, None
+        return pmat_ref[pm], pool[slot], spool[slot]
+
+    dn = (((1,), (0,)), ((), ()))
+    for w, row in enumerate(rows):
+        (p_slot, c1_tip, c1_slot, c1_is_tip,
+         c2_tip, c2_slot, c2_is_tip, pm1, pm2) = row
+        p1, c1, s1 = child(c1_tip, c1_slot, c1_is_tip, pm1)
+        p2, c2, s2 = child(c2_tip, c2_slot, c2_is_tip, pm2)
+        left = jax.lax.dot_general(p1, c1, dn,
+                                   preferred_element_type=jnp.float32)
+        right = jax.lax.dot_general(p2, c2, dn,
+                                    preferred_element_type=jnp.float32)
+        parent = left * right                             # [span, TB] f32
+        if per_rate:
+            pr = parent.reshape(rates, states, tb)
+            mask = jnp.max(pr, axis=1, keepdims=True) < thresh  # [R, 1, TB]
+            parent = jnp.where(mask, pr * factor, pr).reshape(span, tb)
+            snew = mask[:, 0].astype(jnp.int32)           # [R, TB]
+        else:
+            mask = jnp.max(parent, axis=0, keepdims=True) < thresh
+            parent = jnp.where(mask, parent * factor, parent)
+            snew = mask.astype(jnp.int32)                 # [1, TB]
+        if s1 is not None:
+            snew = snew + s1
+        if s2 is not None:
+            snew = snew + s2
+
+        rem = parent
+        split = []
+        for j in range(parts):
+            pj = rem.astype(jnp.bfloat16)
+            split.append(pj)
+            if j + 1 < parts:
+                rem = rem - pj.astype(jnp.float32)
+        pool[p_slot] = jnp.concatenate([split[j] for _, j in terms], axis=0)
+        spool[p_slot] = snew
+
+        if w in export_at:
+            e, slot = export_at[w]
+            e32 = jnp.int32(e)
+            exp_buf[e32] = parent
+            copies = (
+                pltpu.make_async_copy(exp_buf.at[e32], clv_out.at[e32, t],
+                                      exp_sems.at[e32, jnp.int32(0)]),
+                pltpu.make_async_copy(spool.at[jnp.int32(slot)],
+                                      scal_out.at[e32, t],
+                                      exp_sems.at[e32, jnp.int32(1)]),
+            )
+            for c in copies:
+                c.start()
+            started.append(copies)
+
+    for copies in started:
+        for c in copies:
+            c.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("prog", "cfg", "tb", "interpret"))
+def sweep_static(tip_blocked, pmatrix, prog: TreeVmemProgram,
+                 cfg: PartitionConfig, tb: int, interpret: bool = False):
+    """Topology-specialized VMEM sweep (see block comment above).
+
+    Same contract as sweep(): returns (clv_rows [E, NT, R, S, TB] f32,
+    scaler_rows [E, NT, SR, TB] int32) with SR = R under per-rate scalers
+    else 1."""
+    nt, tips, tb_in = tip_blocked.shape
+    assert tb_in == tb and nt * tb == cfg.sites_padded
+    R, S = cfg.rate_cats, cfg.states
+    span = R * S
+    n_exp = len(prog.exports)
+    parts = _parts_for(cfg)
+    n_terms = len(STATIC_TERMS[parts])
+    sr = R if cfg.per_rate_scalers else 1
+    P = pmatrix.shape[0]
+
+    kernel = functools.partial(
+        _tree_kernel_static,
+        rows=tuple(tuple(int(v) for v in r) for r in prog.ops),
+        states=S, rates=R, parts=parts,
+        per_rate=cfg.per_rate_scalers,
+        thresh=cfg.scale_threshold, factor=cfg.scale_factor,
+        exports=prog.exports)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((P, span, n_terms * span),
+                         lambda t: (jnp.int32(0),) * 3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tips, tb),
+                         lambda t: (t, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((prog.pool_size, n_terms * span, tb), jnp.bfloat16),
+            pltpu.VMEM((prog.pool_size, sr, tb), jnp.int32),
+            pltpu.VMEM((max(n_exp, 1), span, tb), jnp.float32),
+            pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
+        ],
+    )
+
+    clv_rows, scal_rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_exp, nt, span, tb), jnp.float32),
+            jax.ShapeDtypeStruct((n_exp, nt, sr, tb), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=prog.n_ops * nt * R * S * tb * (4 * S + 1),
+            bytes_accessed=tips * nt * tb * 4
+            + n_exp * nt * R * S * tb * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(_split_pmatrix_terms_static(pmatrix, parts), tip_blocked)
+    return clv_rows.reshape(n_exp, nt, R, S, tb), scal_rows
+
+
+def vmem_bytes_static(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
+                      num_pmatrices: int) -> int:
+    span = cfg.rate_cats * cfg.states
+    parts = _parts_for(cfg)
+    n_terms = len(STATIC_TERMS[parts])
+    sr = cfg.rate_cats if cfg.per_rate_scalers else 1
+    pool = prog.pool_size * n_terms * span * tb * 2
+    spool = prog.pool_size * sr * tb * 4
+    tipblk = 2 * cfg.tips * tb * 4
+    pmat = num_pmatrices * span * n_terms * span * 2
+    expbuf = max(len(prog.exports), 1) * span * tb * 4
+    work = 3 * n_terms * span * tb * 2
+    return pool + spool + tipblk + pmat + expbuf + work + (1 << 20)
+
+
 def unblock_clv_row(row_blocked):
     """[NT, R, S, TB] -> [R, S, NT*TB]."""
     nt, R, S, tb = row_blocked.shape
@@ -674,6 +915,8 @@ def unblock_clv_row(row_blocked):
 
 
 def unblock_scaler_row(row_blocked):
-    """[NT, 1, TB] -> [NT*TB]."""
-    nt, _, tb = row_blocked.shape
-    return row_blocked.reshape(nt * tb)
+    """[NT, 1, TB] -> [NT*TB]; per-rate [NT, R, TB] -> [R, NT*TB]."""
+    nt, sr, tb = row_blocked.shape
+    if sr == 1:
+        return row_blocked.reshape(nt * tb)
+    return jnp.transpose(row_blocked, (1, 0, 2)).reshape(sr, nt * tb)

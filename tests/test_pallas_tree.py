@@ -191,9 +191,65 @@ def test_splitk_matches_xla(precision):
             np.testing.assert_array_equal(got, np.asarray(scal_x[sidx]))
 
 
-def test_choose_prefers_splitk():
+def test_choose_prefers_static():
     tree, cfg, program, tipchars, pmats = build(caterpillar_newick(16),
                                                 256, 0)
     choice = ppt.choose(program.vmem_prog, cfg,
                         int(program.pmatrix_indices.max()) + 1)
-    assert choice is not None and choice[1] == "splitk"
+    assert choice is not None and choice[1] == "static"
+    # beyond the unroll cap the cross-topology (runtime-ops) kernel wins
+    orig = ppt.STATIC_MAX_OPS
+    try:
+        ppt.STATIC_MAX_OPS = 0
+        choice = ppt.choose(program.vmem_prog, cfg,
+                            int(program.pmatrix_indices.max()) + 1)
+        assert choice is not None and choice[1] == "splitk"
+    finally:
+        ppt.STATIC_MAX_OPS = orig
+
+
+# --------------------------------------------------------------------------
+# topology-specialized (static) kernel
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("per_rate", [False, True])
+@pytest.mark.parametrize("precision", ["highest", "high", "default"])
+def test_static_matches_xla(per_rate, precision):
+    import dataclasses
+    rng = np.random.default_rng(3)
+    newick = random_newick(24, rng)
+    tree, cfg, program, tipchars, pmats = build(newick, 384, 3,
+                                                scale_heavy=True)
+    cfg = dataclasses.replace(cfg, per_rate_scalers=per_rate,
+                              pallas_precision=precision)
+
+    # XLA reference sweep in the matching scaler mode
+    R, S, Tp = cfg.rate_cats, cfg.states, cfg.sites_padded
+    tip_clv = engine.expand_tipchars(tipchars, S, jnp.float32)
+    clv0 = jnp.zeros((cfg.num_clvs + 1, R, S, Tp), jnp.float32)
+    clv0 = clv0.at[:cfg.tips].set(
+        jnp.broadcast_to(tip_clv[:, None], (cfg.tips, R, S, Tp)))
+    if per_rate:
+        scal0 = jnp.zeros((cfg.scale_buffers + 2, R, Tp), jnp.int32)
+    else:
+        scal0 = jnp.zeros((cfg.scale_buffers + 2, Tp), jnp.int32)
+    clv_x, scal_x = partials_ops.update_partials(
+        clv0, scal0, pmats, jnp.asarray(program.level_ops), cfg)
+
+    prog = program.vmem_prog
+    tb = 128
+    nt = cfg.sites_padded // tb
+    tip_b = jnp.transpose(
+        tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
+    clv_rows, scal_rows = ppt.sweep_static(tip_b, pmats, prog, cfg, tb,
+                                           interpret=True)
+    rtol = {"highest": 1e-6, "high": 2e-4, "default": 8e-2}[precision]
+    for clv_idx, row in prog.export_clv_map.items():
+        got = np.asarray(ppt.unblock_clv_row(clv_rows[row]))
+        np.testing.assert_allclose(got, np.asarray(clv_x[clv_idx]),
+                                   rtol=rtol, atol=0)
+    if precision != "highest":
+        return  # scaler counts can legitimately differ at reduced precision
+    for scal_idx, row in prog.export_scaler_map.items():
+        got = np.asarray(ppt.unblock_scaler_row(scal_rows[row]))
+        np.testing.assert_array_equal(got, np.asarray(scal_x[scal_idx]))

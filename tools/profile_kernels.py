@@ -90,7 +90,12 @@ def main():
                 return ppt.sweep(tip_b, pmats * (1.0 + seed),
                                  program.vmem_prog, cfg, tb, mode=mode)
 
+            def run_static(seed):
+                return ppt.sweep_static(tip_b, pmats * (1.0 + seed),
+                                        program.vmem_prog, cfg, tb)
+
             for name, fn in (
+                    ("static", run_static),
                     ("mxu", functools.partial(run, "mxu")),
                     ("vpu", functools.partial(run, "vpu")),
                     ("splitk", functools.partial(run, "splitk"))):
