@@ -12,7 +12,7 @@ from . import constants
 from . import engine
 from . import fit
 from . import search
-from . import search_fast
+from . import multipartition, search_fast
 from .config import PartitionConfig
 from .constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
                         GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN, MAP_AA,
