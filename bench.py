@@ -89,6 +89,19 @@ def measure_engine() -> tuple[float, float, int]:
     print(f"compile+first run: {time.time() - t0:.1f}s  logl={float(logl)}",
           file=sys.stderr)
 
+    # on-chip kernel parity: the Pallas sweep and the XLA einsum path must
+    # price the same tree identically (the reference's all-variants-one-
+    # golden-file rule, test/runtest.py:44-56, applied on real hardware)
+    import dataclasses
+    cfg_xla = dataclasses.replace(cfg, use_pallas=False)
+    logl_xla = engine.loglikelihood(program, cfg_xla, model, bl, tipchars,
+                                    pattern_weights, invariant)
+    parity = abs(float(logl) - float(logl_xla)) / abs(float(logl_xla))
+    print(f"kernel parity: pallas={float(logl)} xla={float(logl_xla)} "
+          f"rel={parity:.2e}", file=sys.stderr)
+    assert parity < 5e-6, \
+        f"Pallas/XLA logL disagree on chip: rel error {parity}"
+
     # REPS data-dependent iterations inside ONE jitted lax.scan: a single
     # dispatch measures pure device time (host/tunnel RPC latency excluded,
     # and no risk of duplicate-execution caching or overlap between
@@ -112,11 +125,11 @@ def measure_engine() -> tuple[float, float, int]:
 
     num_ops = TIPS - 2
     updates_per_sec = num_ops * SITES / dt
-    return updates_per_sec, dt, num_ops
+    return updates_per_sec, dt, num_ops, parity
 
 
 def main() -> None:
-    ours, latency, num_ops = measure_engine()
+    ours, latency, num_ops, parity = measure_engine()
     try:
         ref = measure_reference()
     except Exception as exc:  # noqa: BLE001
@@ -130,6 +143,7 @@ def main() -> None:
         "value": ours,
         "unit": "site-updates/s/chip",
         "vs_baseline": ours / ref if ref == ref else None,
+        "kernel_parity_rel_err": parity,
     }))
 
 
