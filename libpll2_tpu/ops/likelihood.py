@@ -109,7 +109,9 @@ def root_loglikelihood(clv,              # [R, S, T]
     (the reference's generic root kernel predates per-rate scaling and does
     not support it; we implement the natural extension).
     """
-    dtype = clv.dtype
+    # bf16 is a CLV STORAGE format, not an accumulation format: the
+    # reduction runs in f32 (a bf16 sum quantizes the total logL itself)
+    dtype = jnp.float32 if clv.dtype == jnp.bfloat16 else clv.dtype
     term_r = jnp.einsum("rst,rs->rt", clv, freqs.astype(dtype),
                         preferred_element_type=dtype, precision=HIGHEST)       # [R, T]
 
@@ -163,7 +165,8 @@ def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
 
     Mirrors pll_core_edge_loglikelihood_ii (core_likelihood.c:1191-1496).
     """
-    dtype = clvp.dtype
+    # bf16 CLVs: accumulate in f32 (see root_loglikelihood)
+    dtype = jnp.float32 if clvp.dtype == jnp.bfloat16 else clvp.dtype
     termb = jnp.einsum("rjk,rkt->rjt", pmat.astype(dtype), clvc,
                        preferred_element_type=dtype, precision=HIGHEST)
     terma_r = jnp.einsum("rjt,rj,rjt->rt", clvp, freqs.astype(dtype), termb,

@@ -58,16 +58,19 @@ def _level_update(clv, scalers, pmatrix, ops, cfg: PartitionConfig):
     ops:      [W, 8] int32
     """
     dtype = clv.dtype
+    # bf16 is a storage format: accumulate each level in f32 and round the
+    # stored parent once per level (error ~2^-9/level otherwise)
+    acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
     c1 = clv[ops[:, OP_CHILD1_CLV]]          # [W, R, S, T]
     c2 = clv[ops[:, OP_CHILD2_CLV]]
     p1 = pmatrix[ops[:, OP_CHILD1_MAT]]      # [W, R, S, S]
     p2 = pmatrix[ops[:, OP_CHILD2_MAT]]
 
     left = jnp.einsum("wrij,wrjt->writ", p1, c1,
-                      preferred_element_type=dtype, precision=HIGHEST)
+                      preferred_element_type=acc, precision=HIGHEST)
     right = jnp.einsum("wrij,wrjt->writ", p2, c2,
-                       preferred_element_type=dtype, precision=HIGHEST)
-    parent = left * right                     # [W, R, S, T]
+                       preferred_element_type=acc, precision=HIGHEST)
+    parent = (left * right).astype(dtype)     # [W, R, S, T]
 
     thresh = jnp.asarray(cfg.scale_threshold, dtype)
     factor = jnp.asarray(cfg.scale_factor, dtype)
@@ -128,11 +131,12 @@ def _level_update_gather(clv, scalers, pmatrix, ops, gathers,
     p1 = pmatrix[ops[:, OP_CHILD1_MAT]]
     p2 = pmatrix[ops[:, OP_CHILD2_MAT]]
 
+    acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
     left = jnp.einsum("wrij,wrjt->writ", p1, c1,
-                      preferred_element_type=dtype, precision=HIGHEST)
+                      preferred_element_type=acc, precision=HIGHEST)
     right = jnp.einsum("wrij,wrjt->writ", p2, c2,
-                       preferred_element_type=dtype, precision=HIGHEST)
-    parent = left * right
+                       preferred_element_type=acc, precision=HIGHEST)
+    parent = (left * right).astype(dtype)
 
     thresh = jnp.asarray(cfg.scale_threshold, dtype)
     factor = jnp.asarray(cfg.scale_factor, dtype)
