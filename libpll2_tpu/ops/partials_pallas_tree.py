@@ -879,7 +879,8 @@ def sweep_static(tip_blocked, pmatrix, prog: TreeVmemProgram,
             jax.ShapeDtypeStruct((n_exp, nt, sr, tb), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # site blocks are fully independent
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
