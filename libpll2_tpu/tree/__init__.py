@@ -4,7 +4,8 @@ from .newick import (parse_newick, parse_newick_rooted, parse_newick_string,
 from .rtree import (RNode, RTree, export_rtree_newick, parse_rtree,
                     parse_rtree_string, reset_rtree_template_indices,
                     rtree_create_operations, rtree_create_pars_buildops,
-                    rtree_create_pars_recops, rtree_to_utree, rtree_traverse)
+                    rtree_create_pars_recops, rtree_to_utree, rtree_traverse,
+                    show_ascii_rtree)
 from .svg import SvgAttrib, export_svg
 from .utree import (UNode, UTree, check_integrity, clone_graph,
                     create_operations, create_pars_buildops, export_newick,
@@ -21,6 +22,7 @@ __all__ = [
     "RNode", "RTree", "parse_rtree", "parse_rtree_string",
     "export_rtree_newick", "reset_rtree_template_indices",
     "rtree_create_operations", "rtree_create_pars_buildops",
+    "show_ascii_rtree",
     "rtree_create_pars_recops", "rtree_to_utree", "rtree_traverse",
     "SvgAttrib", "export_svg",
 ]

@@ -229,6 +229,64 @@ def export_rtree_newick(root: RNode, with_lengths: bool = True) -> str:
     return sub(root) + ";"
 
 
+def show_ascii_rtree(root: RNode, options: int = 0b11) -> str:
+    """ASCII render, byte-identical to pll_rtree_show_ascii
+    (rtree.c:25-125; prints to stdout there, returned as text here)."""
+    from .utree import _INDENT_SPACE
+
+    def node_info(n: RNode) -> str:
+        from ..constants import (SHOW_BRANCH_LENGTH, SHOW_CLV_INDEX,
+                                 SHOW_LABEL, SHOW_PMATRIX_INDEX,
+                                 SHOW_SCALER_INDEX)
+        s = ""
+        if options & SHOW_LABEL:
+            s += " " + (n.label if n.label is not None else "(null)")
+        if options & SHOW_BRANCH_LENGTH:
+            s += f" {n.length:f}"
+        if options & SHOW_CLV_INDEX:
+            s += f" {n.clv_index}"
+        if options & SHOW_SCALER_INDEX:
+            s += f" {n.scaler_index}"
+        if options & SHOW_PMATRIX_INDEX:
+            s += f" {n.pmatrix_index}"
+        return s
+
+    def indent_level(n: Optional[RNode], indent: int) -> int:
+        if n is None:
+            return indent
+        return max(indent_level(n.left, indent + 1),
+                   indent_level(n.right, indent + 1))
+
+    max_indent = indent_level(root, 0)
+    active = [0] * max(max_indent + 1, 2)
+    active[0] = active[1] = 1
+    out: List[str] = []
+    pad = " " * (_INDENT_SPACE - 1)
+
+    def rec(n: Optional[RNode], indent: int) -> None:
+        if n is None:
+            return
+        out.append("".join(("|" if active[i] else " ") + pad
+                           for i in range(indent)))
+        line = "".join(("|" if active[i] else " ") + pad
+                       for i in range(indent - 1))
+        line += "+" + "-" * (_INDENT_SPACE - 1)
+        if n.left is not None or n.right is not None:
+            line += "+"
+        out.append(line + node_info(n))
+        if active[indent - 1] == 2:
+            active[indent - 1] = 0
+        active[indent] = 1
+        rec(n.left, indent + 1)
+        active[indent] = 2
+        rec(n.right, indent + 1)
+
+    out.append(node_info(root))
+    rec(root.left, 1)
+    rec(root.right, 1)
+    return "\n".join(out) + "\n"
+
+
 # --------------------------------------------------------------------------
 # rooted -> unrooted conversion (utree.c:684-760 pll_utree_create)
 # --------------------------------------------------------------------------

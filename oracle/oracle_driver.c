@@ -141,6 +141,33 @@ static pll_unode_t *ascii_subtree(const char **s)
   return n;
 }
 
+/* rooted variant: pll_rnode_t graph for pll_rtree_show_ascii */
+static pll_rnode_t *ascii_rsubtree(const char **s)
+{
+  pll_rnode_t *n = (pll_rnode_t *)calloc(1, sizeof(pll_rnode_t));
+  if (**s == '(')
+  {
+    (*s)++;
+    n->left = ascii_rsubtree(s);
+    if (**s == ',') (*s)++;
+    n->right = ascii_rsubtree(s);
+    if (**s == ')') (*s)++;
+    n->left->parent = n->right->parent = n;
+  }
+  n->label = ascii_read_label(s);
+  n->length = ascii_read_length(s);
+  return n;
+}
+
+static void ascii_rdestroy(pll_rnode_t *n)
+{
+  if (!n) return;
+  ascii_rdestroy(n->left);
+  ascii_rdestroy(n->right);
+  free(n->label);
+  free(n);
+}
+
 static pll_unode_t *ascii_parse_newick(const char *s)
 {
   if (*s != '(') return NULL;
@@ -702,6 +729,22 @@ int main(void)
       fflush(stdout);
       printf("ascii_end\n");
       pll_utree_graph_destroy(root, NULL);
+    }
+    else if (!strcmp(cmd, "ascii_rtree"))
+    {
+      /* ascii_rtree <options> <rooted newick> (binary) */
+      int options; int off = 0;
+      sscanf(rest, "%d%n", &options, &off);
+      const char *nwk = rest + off;
+      while (*nwk == ' ' || *nwk == '\t') nwk++;
+      pll_rnode_t *root = ascii_rsubtree(&nwk);
+      if (!root) die("ascii_rtree parse");
+      printf("ascii_begin\n");
+      fflush(stdout);
+      pll_rtree_show_ascii(root, options);
+      fflush(stdout);
+      printf("ascii_end\n");
+      ascii_rdestroy(root);
     }
     else if (!strcmp(cmd, "svg"))
     {

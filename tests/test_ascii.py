@@ -46,3 +46,19 @@ def test_ascii_byte_parity_random():
     tree2 = T.parse_newick_string(canon)
     ours = show_ascii(tree2.vroot, pll.SHOW_LABEL | pll.SHOW_BRANCH_LENGTH)
     assert ours == reference_ascii(canon, 3)
+
+
+def test_rtree_ascii_byte_parity():
+    from libpll2_tpu.tree.rtree import show_ascii_rtree
+    nwk = ("((t0:0.1,t1:0.2)i1:0.05,"
+           "(t2:0.3,(t3:0.15,t4:0.25):0.4)x:0.12)r;")
+    binary = ensure_oracle()
+    out = subprocess.run([str(binary)],
+                         input=f"ascii_rtree 3 {nwk}\n",
+                         capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    ref = out.stdout.split("ascii_begin\n")[1].split("ascii_end\n")[0]
+    rt = T.parse_rtree_string(nwk)
+    ours = show_ascii_rtree(rt.root,
+                            pll.SHOW_LABEL | pll.SHOW_BRANCH_LENGTH)
+    assert ours == ref
