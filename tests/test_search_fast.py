@@ -9,6 +9,7 @@ Pins the three claims search_fast makes:
   3. every device program compiles exactly ONCE across all rounds and
      topologies (jit cache hits — the whole point of runtime topology).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -128,7 +129,13 @@ def test_hill_climb_monotone_beats_legacy_and_caches():
     assert search_fast._logl_rt._cache_size() <= 2
     assert search_fast._smooth_rt._cache_size() <= 2
 
-    # at least as good as the legacy (per-topology-compile) search
+    # at least as good as the legacy (per-topology-compile) search.
+    # Drop the executables accumulated by the whole session first: the
+    # legacy search compiles hundreds of fresh CPU programs, and XLA:CPU's
+    # compiler segfaults (observed deterministically at this point in a
+    # full-suite run) when that lands on top of a large in-process
+    # compilation cache.
+    jax.clear_caches()
     from libpll2_tpu import search
     legacy = start
     legacy_logl = None
