@@ -221,7 +221,10 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
         nt = cfg.sites_padded // tb
         tip_b = jnp.transpose(
             tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
-        if mode == "static":
+        if mode == "static2":
+            clv_rows, scal_rows = partials_pallas_tree.sweep_static2(
+                tip_b, pmatrix, program.vmem_prog, cfg, tb)
+        elif mode == "static":
             clv_rows, scal_rows = partials_pallas_tree.sweep_static(
                 tip_b, pmatrix, program.vmem_prog, cfg, tb)
         else:
@@ -857,8 +860,9 @@ def loglikelihood_analytic(program: TreeProgram, full: FullTreeProgram,
     """loglikelihood() with an analytic (message-based) reverse pass.
 
     Differentiable in (model, branch_lengths, pattern_weights) on ANY
-    forward path, including the VMEM Pallas sweep.  Requires per-site
-    scalers and no ascertainment bias."""
+    forward path, including the VMEM Pallas sweep.  Supports per-site and
+    per-rate scalers, +I, and every ascertainment-bias correction (the
+    per-edge reduction tail is differentiated by ordinary autodiff)."""
     return loglikelihood(program, cfg, model, branch_lengths, tipchars,
                          pattern_weights, invariant)
 
@@ -876,47 +880,47 @@ def _float0(x):
 
 
 def _lla_bwd(program, full, cfg, res, g):
-    from .constants import AB_NONE
-    assert cfg.asc_bias == AB_NONE, \
-        "analytic VJP does not support ascertainment bias"
-    assert not cfg.per_rate_scalers, \
-        "analytic VJP requires per-site scalers"
     model, bl, tipchars, pw, inv = res
     dtype = cfg.dtype
 
     clv, scalers, pmatrix = _sweep_all(full, cfg, model, bl, tipchars)
     edge_rows = jnp.asarray(full.edge_rows)
+    pmat_slots = jnp.asarray(full.pmatrix_indices)
     ra, rsa, rb, rsb = full.edge_rows[full.root_edge]
     root_slot = int(full.pmatrix_indices[full.root_edge])
 
-    logl, site_lk_w = likelihood_ops.edge_loglikelihood(
-        clv[ra], scalers[rsa], clv[rb], scalers[rsb], pmatrix[root_slot],
-        model.cat_freqs, model.rate_weights, model.cat_pinv, inv, pw, cfg,
-        with_persite=True)
-    live = pw > 0
-    site_loglik = jnp.where(live, site_lk_w / jnp.where(live, pw, 1.0),
-                            0.0)                                   # [T]
-
-    rw1p = (model.rate_weights
-            * (1.0 - model.cat_pinv)).astype(dtype)                # [R]
     freqs = model.cat_freqs.astype(dtype)                          # [R, S]
-    log_thresh = jnp.asarray(cfg.log_scale_threshold, dtype)
     hi = jax.lax.Precision.HIGHEST
 
-    def per_edge(rows):
+    def per_edge(args):
+        # dlogL/dP_e by the belief-propagation identity: the edge-e
+        # factorization L_t = reduce(Σ_ij π_i msg_a,i P_ij msg_b,j) holds
+        # for EVERY edge with messages held fixed, so the true partial
+        # derivative in P_e is the VJP of that form.  The reduction tail
+        # (scaler undo — per-site or capped per-rate, +I mixing, asc-bias
+        # corrections) is a cheap [R, T] function; ordinary autodiff of it
+        # yields the per-(rate, site) cotangent `bar`, and the expensive
+        # message factors stay analytic (core_derivatives.c:321-471 is
+        # this same factorization specialized to d/dt).
+        rows, slot = args
         msg_a = clv[rows[0]]                                       # [R,S,T]
         msg_b = clv[rows[2]]
-        s = (scalers[rows[1]] + scalers[rows[3]]).astype(dtype)    # [T]
-        # w_t / L-tilde_t where L-tilde is the likelihood of THIS edge's
-        # scaled messages: thresh^{s} / L_t, in log space for range
-        coeff = jnp.where(live,
-                          pw.astype(dtype)
-                          * jnp.exp(s * log_thresh - site_loglik), 0.0)
-        A = freqs[:, :, None] * msg_a
-        return jnp.einsum("rit,rjt,t->rij", A, msg_b, coeff,
-                          precision=hi) * rw1p[:, None, None]
+        sa, sb = scalers[rows[1]], scalers[rows[3]]
+        A = freqs[:, :, None] * msg_a                              # [R,S,T]
+        apb = jnp.einsum("rit,rij,rjt->rt", A, pmatrix[slot].astype(dtype),
+                         msg_b, precision=hi)                      # [R,T]
 
-    pmat_bar = jax.lax.map(per_edge, edge_rows) * g                # [E,R,S,S]
+        def reduce_fn(apb_):
+            return likelihood_ops.edge_reduce(
+                apb_, sa, sb, model.cat_freqs, model.rate_weights,
+                model.cat_pinv, inv, pw, cfg)
+
+        _, rvjp = jax.vjp(reduce_fn, apb)
+        bar, = rvjp(g)                                             # [R,T]
+        return jnp.einsum("rt,rit,rjt->rij", bar, A, msg_b,
+                          precision=hi)
+
+    pmat_bar = jax.lax.map(per_edge, (edge_rows, pmat_slots))     # [E,R,S,S]
 
     def pm_fn(bl_, evals, evecs, inv_evecs, rates, pinv):
         return pmatrix_ops.compute_pmatrices(
@@ -928,25 +932,26 @@ def _lla_bwd(program, full, cfg, res, g):
     bl_bar, evals_bar, evecs_bar, ivecs_bar, rates_bar, pinv_bar_pm = \
         pm_vjp(pmat_bar.astype(dtype))
 
-    # reduction-side gradients (messages and P held fixed)
-    def red_fn(frequencies, rate_weights, prop_invar):
+    # reduction-side gradients (messages and P held fixed); pattern
+    # weights enter the likelihood only through the reduction, so pw_bar
+    # is exact here too (including the asc-bias correction terms)
+    def red_fn(frequencies, rate_weights, prop_invar, pw_):
         cat_freqs = frequencies[model.params_indices]
         cat_pinv = prop_invar[model.params_indices]
         return likelihood_ops.edge_loglikelihood(
             clv[ra], scalers[rsa], clv[rb], scalers[rsb],
             pmatrix[root_slot], cat_freqs, rate_weights, cat_pinv, inv,
-            pw, cfg)
+            pw_, cfg)
 
     _, red_vjp = jax.vjp(red_fn, model.frequencies, model.rate_weights,
-                         model.prop_invar)
-    freqs_bar, rw_bar, pinv_bar_red = red_vjp(g)
+                         model.prop_invar, pw)
+    freqs_bar, rw_bar, pinv_bar_red, pw_bar = red_vjp(g)
 
     model_bar = Model(
         eigenvals=evals_bar, eigenvecs=evecs_bar, inv_eigenvecs=ivecs_bar,
         frequencies=freqs_bar, rates=rates_bar, rate_weights=rw_bar,
         prop_invar=pinv_bar_pm + pinv_bar_red,
         params_indices=_float0(model.params_indices))
-    pw_bar = (g * site_loglik).astype(pw.dtype)
     return (model_bar, bl_bar, _float0(tipchars), pw_bar, _float0(inv))
 
 

@@ -171,7 +171,29 @@ def edge_loglikelihood(clvp,             # [R, S, T] parent CLV
                        preferred_element_type=dtype, precision=HIGHEST)
     terma_r = jnp.einsum("rjt,rj,rjt->rt", clvp, freqs.astype(dtype), termb,
                          preferred_element_type=dtype, precision=HIGHEST)       # [R, T]
+    return edge_reduce(terma_r, scaler_p, scaler_c, freqs, rate_weights,
+                       prop_invar, invariant, pattern_weights, cfg,
+                       with_persite=with_persite)
 
+
+def edge_reduce(terma_r,          # [R, T] pre-log edge terms (stored scale)
+                scaler_p,         # [T] or [R, T] int32
+                scaler_c,         # [T] or [R, T] int32
+                freqs,            # [R, S]
+                rate_weights,     # [R]
+                prop_invar,       # [R]
+                invariant,        # [T] int32
+                pattern_weights,  # [T]
+                cfg: PartitionConfig,
+                with_persite: bool = False):
+    """Reduction tail of edge_loglikelihood from the per-(rate, site) edge
+    terms Σ_ij π_i · clvp_i · P_ij · clvc_j (at the CLVs' stored scaling).
+
+    Split out so the analytic reverse pass (engine.loglikelihood_analytic)
+    can differentiate the reduction — scaler undo, +I mixing, asc-bias
+    corrections — per edge by ordinary autodiff of THIS small [R, T]
+    function while the message sweep stays analytic."""
+    dtype = terma_r.dtype
     if cfg.per_rate_scalers:
         site_scalings, undo = _per_rate_undo(scaler_p, scaler_c, cfg, dtype)
         terma_r = terma_r * undo

@@ -22,7 +22,8 @@ from libpll2_tpu.config import PartitionConfig
 from .test_parity_tree import random_newick, random_seqs
 
 
-def _setup(n_tips, sites, seed, scale_heavy=False, pinv=0.0):
+def _setup(n_tips, sites, seed, scale_heavy=False, pinv=0.0,
+           asc_bias=0, per_rate=False):
     rng = np.random.default_rng(seed)
     newick = random_newick(n_tips, rng)
     tree = T.parse_newick_string(newick)
@@ -30,7 +31,9 @@ def _setup(n_tips, sites, seed, scale_heavy=False, pinv=0.0):
     cfg = PartitionConfig(
         tips=n_tips, clv_buffers=tree.inner_count, states=4, sites=sites,
         rate_matrices=1, prob_matrices=2 * n_tips - 3, rate_cats=4,
-        scale_buffers=tree.inner_count, dtype=jnp.float64)
+        scale_buffers=tree.inner_count, dtype=jnp.float64,
+        asc_bias=asc_bias, asc_bias_flag=bool(asc_bias),
+        per_rate_scalers=per_rate)
     program = engine.compile_tree(tree, cfg)
     full = engine.compile_tree_full(tree, cfg)
     model = engine.make_model(
@@ -38,12 +41,14 @@ def _setup(n_tips, sites, seed, scale_heavy=False, pinv=0.0):
         pll.compute_gamma_cats(0.8, 4),
         prop_invar=[pinv] if pinv else None, dtype=jnp.float64)
 
-    raw = np.zeros((n_tips, cfg.sites_alloc), dtype=np.uint64)
+    raw = np.zeros((n_tips, sites), dtype=np.uint64)
     for i, s in enumerate(seqs):
         raw[i] = pll.MAP_NT[np.frombuffer(s.encode(), np.uint8)]
     tipchars = jnp.asarray(engine.pad_tipchars(raw, cfg))
     pw = np.zeros(cfg.sites_padded)
     pw[:sites] = 1.0
+    if asc_bias:
+        pw[sites:sites + 4] = [2.0, 1.0, 1.0, 3.0]
     pw = jnp.asarray(pw, cfg.dtype)
     if pinv:
         from libpll2_tpu.partition import Partition
@@ -62,15 +67,7 @@ def _setup(n_tips, sites, seed, scale_heavy=False, pinv=0.0):
     return program, full, cfg, model, bl, tipchars, pw, inv
 
 
-@pytest.mark.parametrize("n_tips,seed,heavy,pinv", [
-    (10, 3, False, 0.0),
-    (32, 5, True, 0.0),     # scalers fire
-    (12, 7, False, 0.25),   # +I mixing
-])
-def test_analytic_vjp_matches_xla_grad(n_tips, seed, heavy, pinv):
-    program, full, cfg, model, bl, tipchars, pw, inv = _setup(
-        n_tips, 192, seed, scale_heavy=heavy, pinv=pinv)
-
+def _check_grads(program, full, cfg, model, bl, tipchars, pw, inv):
     def f_ref(model_, bl_, pw_):
         return engine.loglikelihood(program, cfg, model_, bl_, tipchars,
                                     pw_, inv)
@@ -98,6 +95,35 @@ def test_analytic_vjp_matches_xla_grad(n_tips, seed, heavy, pinv):
     for a, b in zip(real_ref, real_ana):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-7, atol=1e-8 * scale)
+
+
+@pytest.mark.parametrize("n_tips,seed,heavy,pinv", [
+    (10, 3, False, 0.0),
+    (32, 5, True, 0.0),     # scalers fire
+    (12, 7, False, 0.25),   # +I mixing
+])
+def test_analytic_vjp_matches_xla_grad(n_tips, seed, heavy, pinv):
+    program, full, cfg, model, bl, tipchars, pw, inv = _setup(
+        n_tips, 192, seed, scale_heavy=heavy, pinv=pinv)
+    _check_grads(program, full, cfg, model, bl, tipchars, pw, inv)
+
+
+@pytest.mark.parametrize("asc,per_rate,heavy", [
+    (pll.AB_LEWIS, False, False),
+    (pll.AB_LEWIS, False, True),          # asc with active scaling
+    (pll.AB_FELSENSTEIN, False, True),
+    (pll.AB_STAMATAKIS, False, True),
+    (0, True, True),                      # per-rate scalers, capped undo
+    (pll.AB_LEWIS, True, True),           # both at once
+])
+def test_analytic_vjp_asc_and_per_rate(asc, per_rate, heavy):
+    """The reverse pass differentiates the per-edge reduction tail by
+    autodiff, so ascertainment-bias corrections (likelihood.c:24-120) and
+    the capped per-rate scaler undo (core_likelihood.c:1388-1414) must
+    come out identical to XLA autodiff of the whole forward program."""
+    program, full, cfg, model, bl, tipchars, pw, inv = _setup(
+        20, 160, 13, scale_heavy=heavy, asc_bias=asc, per_rate=per_rate)
+    _check_grads(program, full, cfg, model, bl, tipchars, pw, inv)
 
 
 def test_analytic_vjp_in_fit_loss():

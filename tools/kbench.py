@@ -43,7 +43,7 @@ def main():
         tips=TIPS, clv_buffers=tree.inner_count, states=4, sites=SITES,
         rate_matrices=1, prob_matrices=2 * TIPS - 3, rate_cats=4,
         scale_buffers=tree.inner_count, dtype=jnp.float32,
-        pallas_precision="highest")
+        pallas_precision=__import__("os").environ.get("KB_PREC", "highest"))
     program = engine.compile_tree(tree, cfg)
     model = engine.make_model(
         [[1.0, 2.0, 1.0, 1.0, 2.0, 1.0]], [[0.25] * 4],
@@ -69,7 +69,12 @@ def main():
             tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
 
         for mode in MODES:
-            if mode == "static":
+            if mode == "static2":
+                def fn(seed, tb=tb, tip_b=tip_b):
+                    return ppt.sweep_static2(
+                        tip_b, pmats * (1.0 + seed), program.vmem_prog,
+                        cfg, tb)
+            elif mode == "static":
                 def fn(seed, tb=tb, tip_b=tip_b):
                     return ppt.sweep_static(
                         tip_b, pmats * (1.0 + seed), program.vmem_prog,
