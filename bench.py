@@ -105,9 +105,12 @@ def measure_engine() -> tuple[float, float, int]:
     # REPS data-dependent iterations inside ONE jitted lax.scan: a single
     # dispatch measures pure device time (host/tunnel RPC latency excluded,
     # and no risk of duplicate-execution caching or overlap between
-    # independent dispatches skewing the clock)
+    # independent dispatches skewing the clock).  All large arrays are
+    # explicit ARGUMENTS: closing over them embeds them as HLO constants,
+    # which costs ~400s of extra cold-compile through the remote-compile
+    # tunnel (tools/scanprobe.py isolates this).
     @jax.jit
-    def chain(bl0):
+    def chain(bl0, tipchars, pattern_weights, invariant):
         def body(carry, _):
             r = engine.loglikelihood(program, cfg, model,
                                      bl0 * (1.0 + 1e-12 * carry),
@@ -116,11 +119,13 @@ def measure_engine() -> tuple[float, float, int]:
         last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
         return last
 
-    jax.block_until_ready(chain(bl))            # compile
+    jax.block_until_ready(chain(bl, tipchars, pattern_weights,
+                                invariant))     # compile
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(bl * 1.0000001))
+        jax.block_until_ready(chain(bl * 1.0000001, tipchars,
+                                    pattern_weights, invariant))
         dt = min(dt, (time.perf_counter() - t0) / REPS)
 
     num_ops = TIPS - 2

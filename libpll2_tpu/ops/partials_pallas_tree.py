@@ -491,15 +491,30 @@ def _block_diag_pmatrix(pmatrix, dtype):
     return out.reshape(P, R * S, R * S)
 
 
+def _round_f32_to_bf16_bits(x):
+    """Round-to-nearest-even f32 -> bf16 IN THE INTEGER DOMAIN.
+
+    XLA's TPU pipeline runs with excess precision allowed, and its
+    simplifier may elide a lossy f32->bf16->f32 convert pair as an
+    identity — which silently zeroes the residual split parts (observed
+    on-chip: only P_0 survived, 2^-8 CLV error).  Bit arithmetic cannot
+    be elided.  Returns (bf16 value, exact f32 value of that bf16)."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    rounded = (u + jnp.uint32(0x7FFF)
+               + ((u >> 16) & jnp.uint32(1))) & jnp.uint32(0xFFFF0000)
+    exact = jax.lax.bitcast_convert_type(rounded, jnp.float32)
+    return exact.astype(jnp.bfloat16), exact
+
+
 def _bf16_splits(x, parts: int):
     """Split an f32 array into `parts` bf16 arrays summing to it."""
     out = []
     rem = x.astype(jnp.float32)
     for j in range(parts):
-        pj = rem.astype(jnp.bfloat16)
+        pj, pj_exact = _round_f32_to_bf16_bits(rem)
         out.append(pj)
         if j + 1 < parts:
-            rem = rem - pj.astype(jnp.float32)
+            rem = rem - pj_exact
     return out
 
 
@@ -744,7 +759,10 @@ def _split_pmatrix_terms_static(pmatrix, parts: int):
     P is rate-block-diagonal and a tip CLV repeats its state bits across
     rate blocks, so P @ tip == Q @ bits — a K = parts*S matmul against
     the raw bit expansion, with no span-wide tip materialization
-    (PATTERN_TIP's precomputed-lookup role, pll.h:124, done MXU-side)."""
+    (PATTERN_TIP's precomputed-lookup role, pll.h:124, done MXU-side).
+    The contraction is zero-padded to a multiple of the 16-row bf16 tile
+    (Mosaic miscompiles sub-tile contraction depths); the kernel's padded
+    operand rows are zero via >=bit-width shifts (_tip_shift_rows)."""
     P, R, S, _ = pmatrix.shape
     span = R * S
     bd = _block_diag_pmatrix(pmatrix.astype(jnp.float32), jnp.float32)
@@ -758,7 +776,18 @@ def _split_pmatrix_terms_static(pmatrix, parts: int):
         q = jnp.einsum("prsqt,rq->prst", pj, eye,
                        precision=HIGHEST)            # exact: picks r == q
         qs.append(q.reshape(P, span, S))
-    return pterms, jnp.concatenate(qs, axis=2)
+    kq = -(-(parts * S) // 16) * 16
+    pad = jnp.zeros((P, span, kq - parts * S), jnp.bfloat16)
+    return pterms, jnp.concatenate(qs + [pad], axis=2)
+
+
+def _tip_shift_rows(states: int, parts: int, kq: int, tb: int):
+    """Shift-amount plane building the padded tip operand in one VPU op:
+    row j*S+s decodes state bit s; pad rows shift by 31 (tip codes are
+    < 2^states <= 2^20, so the result is exactly 0).  Built from an
+    in-kernel iota — Pallas kernels cannot capture array constants."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (kq, tb), 0)
+    return jnp.where(r < parts * states, r % states, 31)
 
 
 def _tree_kernel_static(pmat_ref,              # [P, span, T*span] bf16 VMEM
@@ -778,19 +807,20 @@ def _tree_kernel_static(pmat_ref,              # [P, span, T*span] bf16 VMEM
     tb = tip_ref.shape[-1]
     span = rates * states
     terms = STATIC_TERMS[parts]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (states, tb), 0)
     export_at = {op_idx: (e, slot)
                  for e, (op_idx, slot) in enumerate(exports)}
     started = []
 
+    kq = ptq_ref.shape[-1]
+    tip_shifts = _tip_shift_rows(states, parts, kq, tb)
+
     def child(tip_idx, slot, is_tip, pm):
         if is_tip:
-            # Q-compressed tip: K = parts*S against the raw bit rows
-            # (see _split_pmatrix_terms_static) — no span-wide broadcast
+            # Q-compressed tip: K = parts*S (tile-padded) against the raw
+            # bit rows (_split_pmatrix_terms_static) — no span broadcast
             tiprow = tip_ref[0, tip_idx]                  # [TB] int32
-            bits = ((tiprow[None, :] >> iota) & 1).astype(jnp.bfloat16)
-            operand = jnp.broadcast_to(
-                bits[None], (parts, states, tb)).reshape(parts * states, tb)
+            operand = ((tiprow[None, :] >> tip_shifts) & 1
+                       ).astype(jnp.bfloat16)             # [kq, TB]
             return ptq_ref[pm], operand, None
         return pmat_ref[pm], pool[slot], spool[slot]
 
@@ -883,7 +913,7 @@ def sweep_static(tip_blocked, pmatrix, prog: TreeVmemProgram,
             pl.BlockSpec((P, span, n_terms * span),
                          lambda t: (jnp.int32(0),) * 3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, span, parts * S),
+            pl.BlockSpec((P, span, -(-(parts * S) // 16) * 16),
                          lambda t: (jnp.int32(0),) * 3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tips, tb),
@@ -979,8 +1009,9 @@ def _pmatrix_cmajor(pmatrix, parts: int):
         q = jnp.einsum("prsqt,rq->prst", pj, eye,
                        precision=HIGHEST)            # exact: picks r == q
         qs.append(q.reshape(P, span, S))
-    ptq = jnp.concatenate(qs, axis=2)
-    return pcm, ptq
+    kq = -(-(parts * S) // 16) * 16                  # bf16 tile padding
+    pad = jnp.zeros((P, span, kq - parts * S), jnp.bfloat16)
+    return pcm, jnp.concatenate(qs + [pad], axis=2)
 
 
 def _tree_kernel_static2(pcm_ref,               # [P, span, CM] bf16 VMEM
@@ -999,19 +1030,19 @@ def _tree_kernel_static2(pcm_ref,               # [P, span, CM] bf16 VMEM
     t = pl.program_id(0)
     tb = tip_ref.shape[-1]
     span = rates * states
-    iota = jax.lax.broadcasted_iota(jnp.int32, (states, tb), 0)
     export_at = {op_idx: (e, slot)
                  for e, (op_idx, slot) in enumerate(exports)}
     started = []
     offs = [span * (s * (s + 1) // 2) for s in range(parts + 1)]
     dn = (((1,), (0,)), ((), ()))
+    kq = ptq_ref.shape[-1]
+    tip_shifts = _tip_shift_rows(states, parts, kq, tb)
 
     def side(tip_idx, slot, is_tip, pm):
         if is_tip:
             tiprow = tip_ref[0, tip_idx]                  # [TB] int32
-            bits = ((tiprow[None, :] >> iota) & 1).astype(jnp.bfloat16)
-            operand = jnp.broadcast_to(
-                bits[None], (parts, states, tb)).reshape(parts * states, tb)
+            operand = ((tiprow[None, :] >> tip_shifts) & 1
+                       ).astype(jnp.bfloat16)             # [kq, TB]
             acc = jax.lax.dot_general(ptq_ref[pm], operand, dn,
                                       preferred_element_type=jnp.float32)
             return acc, None
@@ -1107,7 +1138,7 @@ def sweep_static2(tip_blocked, pmatrix, prog: TreeVmemProgram,
             pl.BlockSpec((P, span, cm),
                          lambda t: (jnp.int32(0),) * 3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, span, parts * S),
+            pl.BlockSpec((P, span, -(-(parts * S) // 16) * 16),
                          lambda t: (jnp.int32(0),) * 3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tips, tb),

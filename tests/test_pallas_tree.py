@@ -141,6 +141,27 @@ def test_vmem_caterpillar_pool_small():
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=0)
 
 
+def test_bf16_splits_bit_domain():
+    """The split parts must be computed with integer-domain rounding:
+    XLA:TPU runs with excess precision allowed and may elide a lossy
+    f32->bf16->f32 convert pair as identity, zeroing every residual part
+    (observed on-chip as a 2^-8 CLV error).  Pin (a) round-to-nearest-even
+    agreement with the convert, (b) exact reconstruction to f32 accuracy,
+    (c) non-trivial residuals."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(4096).astype(np.float32)
+                    * np.exp(rng.uniform(-20, 3, 4096)).astype(np.float32))
+    parts = ppt._bf16_splits(x, 3)
+    np.testing.assert_array_equal(
+        np.asarray(parts[0]), np.asarray(x.astype(jnp.bfloat16)))
+    total = sum(np.asarray(p, np.float64) for p in parts)
+    err = np.abs(total - np.asarray(x, np.float64))
+    assert float(np.max(err / np.maximum(np.abs(np.asarray(x)), 1e-30))) \
+        < 2 ** -22
+    assert float(np.abs(np.asarray(parts[1])).max()) > 0
+    assert float(np.abs(np.asarray(parts[2])).max()) > 0
+
+
 def test_schedule_rejects_non_forest():
     from libpll2_tpu.partition import Operation
     # child 5 never produced and not a tip -> partial traversal -> None

@@ -69,25 +69,28 @@ def main():
             tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
 
         for mode in MODES:
+            # big arrays are ARGUMENTS of the jitted chain: closing over
+            # them embeds 64MB HLO constants that cost ~400s of extra
+            # cold compile through the remote-compile tunnel (scanprobe.py)
             if mode == "static2":
-                def fn(seed, tb=tb, tip_b=tip_b):
+                def fn(seed, tip_b, pmats, tb=tb):
                     return ppt.sweep_static2(
                         tip_b, pmats * (1.0 + seed), program.vmem_prog,
                         cfg, tb)
             elif mode == "static":
-                def fn(seed, tb=tb, tip_b=tip_b):
+                def fn(seed, tip_b, pmats, tb=tb):
                     return ppt.sweep_static(
                         tip_b, pmats * (1.0 + seed), program.vmem_prog,
                         cfg, tb)
             else:
-                def fn(seed, tb=tb, tip_b=tip_b, mode=mode):
+                def fn(seed, tip_b, pmats, tb=tb, mode=mode):
                     return ppt.sweep(tip_b, pmats * (1.0 + seed),
                                      program.vmem_prog, cfg, tb, mode=mode)
 
             @jax.jit
-            def chain(seed, fn=fn):
+            def chain(seed, tip_b, pmats, fn=fn):
                 def body(carry, _):
-                    out = fn(carry)
+                    out = fn(carry, tip_b, pmats)
                     leaf = jax.tree_util.tree_leaves(out)[0]
                     return leaf.reshape(-1)[0].astype(jnp.float32) * 1e-20, \
                         None
@@ -96,10 +99,10 @@ def main():
 
             try:
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(jnp.float32(0.0)))
+                jax.block_until_ready(fn(jnp.float32(0.0), tip_b, pmats))
                 t_compile1 = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                jax.block_until_ready(chain(jnp.float32(0.0)))
+                jax.block_until_ready(chain(jnp.float32(0.0), tip_b, pmats))
                 t_compile2 = time.perf_counter() - t0
             except Exception as exc:  # noqa: BLE001
                 print(f"tb={tb:6d} {mode:8s} FAIL "
@@ -108,7 +111,8 @@ def main():
             dt = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(chain(jnp.float32(1e-12)))
+                jax.block_until_ready(chain(jnp.float32(1e-12), tip_b,
+                                            pmats))
                 dt = min(dt, (time.perf_counter() - t0) / REPS)
             ups = n_ops * SITES / dt
             print(f"tb={tb:6d} {mode:8s} compile {t_compile1:6.1f}s "

@@ -20,24 +20,29 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def chained(fn, arg, iters):
-    """Data-dependent chained timing under one dispatch (see bench.py)."""
+def chained(fn, arg, iters, *operands):
+    """Data-dependent chained timing under one dispatch (see bench.py).
+
+    Pass every large array in `operands` (fn receives them after its
+    first argument): closed-over arrays embed as HLO constants and cost
+    ~400s of extra cold compile through the remote-compile tunnel
+    (tools/scanprobe.py)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def chain(x):
+    def chain(x, *ops):
         def body(carry, _):
-            r = fn(x * (1.0 + 1e-12 * carry))
+            r = fn(x * (1.0 + 1e-12 * carry), *ops)
             return r, None
         last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return last
 
-    jax.block_until_ready(chain(arg))
+    jax.block_until_ready(chain(arg, *operands))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(arg * 1.0000001))
+        jax.block_until_ready(chain(arg * 1.0000001, *operands))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -102,10 +107,10 @@ def main() -> None:
         cfg, prog = build(**kw)
         bl0 = jnp.asarray(prog.default_branch_lengths, jnp.float32)
 
-        def f(bl, prog=prog, cfg=cfg):
+        def f(bl, tipchars, pw, inv, prog=prog, cfg=cfg):
             return engine.loglikelihood(prog, cfg, model, bl, tipchars,
                                         pw, inv)
-        dt = chained(f, bl0, args.iters)
+        dt = chained(f, bl0, args.iters, tipchars, pw, inv)
         su = (args.tips - 2) * args.sites / dt
         rows.append((label, dt, su))
 
@@ -114,12 +119,12 @@ def main() -> None:
     rows.append(("pmatrices only",
                  chained(pmats_only, bl0, args.iters), None))
 
-    def train(bl, prog=prog, cfg=cfg):
+    def train(bl, tipchars, pw, inv, prog=prog, cfg=cfg):
         new_bl, logl = engine.optimize_root_branch(
             prog, cfg, model, bl, tipchars, pw, inv)
         return logl
     rows.append(("logL + root-branch Newton",
-                 chained(train, bl0, args.iters), None))
+                 chained(train, bl0, args.iters, tipchars, pw, inv), None))
 
     print(f"{'phase':28s} {'ms/call':>10s} {'site-updates/s':>16s}")
     for label, dt, su in rows:
