@@ -111,10 +111,34 @@ class SprProgram:
     cand_affected: List[frozenset]  # clv-index sets for conflict detection
     edge_endpoints: np.ndarray      # [E, 2] clv indices of edge endpoints
     edge_node: np.ndarray           # [E] node_index of the A-side half-node
+    # radius-limited scoring (present when compiled with radius=K):
+    radius: Optional[int] = None
+    ball_ops: Optional[np.ndarray] = None    # [C, K, W, 12] int32
+    ball_slots: Optional[int] = None         # scratch rows per candidate
+    cand_merge_edges: Optional[np.ndarray] = None   # [C, 2] edge positions
+
+
+# ball_ops column layout (one row = one outward "changed message" op,
+# which is ALSO one (candidate, regraft-edge) score slot):
+BOP_PARENT = 0        # scratch slot this op writes
+BOP_C1_ROW = 1        # base msg row (seed) | scratch slot (deeper)
+BOP_C1_SCAL = 2       # base scaler row (seed) | scratch slot (deeper)
+BOP_C1_SEED = 3       # 1 -> c1 is a base row propagated through MERGED P
+BOP_C1_PM = 4         # pmatrix slot of the in-edge (ignored when seed)
+BOP_C2_ROW = 5        # base msg row of the side subtree
+BOP_C2_SCAL = 6
+BOP_C2_PM = 7
+BOP_SC_ROW = 8        # base msg row facing the changed message across e
+BOP_SC_SCAL = 9
+BOP_EDGE = 10         # edge position of the regraft target
+BOP_VALID = 11
+BOP_COLS = 12
 
 
 def compile_spr(tree: UTree, cfg: PartitionConfig,
-                min_level_shape: Optional[Tuple[int, int]] = None
+                min_level_shape: Optional[Tuple[int, int]] = None,
+                radius: Optional[int] = None,
+                min_ball_width: Optional[np.ndarray] = None
                 ) -> SprProgram:
     """Compile one topology into runtime search arrays + candidate table."""
     if cfg.per_rate_scalers:
@@ -191,6 +215,125 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
 
     C = len(cands)
     assert C == 3 * n - 6, (C, n)
+
+    ball_ops = ball_slots = merge_edges = None
+    if radius is not None:
+        # Radius-limited exact scoring (the reference clients' bounded
+        # partial traversals, examples/partial-traversal/partial.c:365-463,
+        # as fixed-shape batched ops).  Pruning S at p leaves every message
+        # directed AWAY from p unchanged; the changed ones — the remainder
+        # messages FACING each regraft edge from the prune side — form an
+        # outward recursion from the merged edge, consuming only base
+        # messages as side inputs.  Each op doubles as one (candidate,
+        # regraft edge) score slot, so a round costs O(n * 2^K) message
+        # ops instead of O(n^2).
+        inner_nodes = [nd for nd in tree.nodes if nd.next is not None]
+        msg_half = [g for nd in inner_nodes for g in nd.roundabout()]
+        msg_row = {g.node_index: cfg_ext.tips + k
+                   for k, g in enumerate(msg_half)}
+        msg_scal = {g.node_index: k for k, g in enumerate(msg_half)}
+        pos_of_pm = {int(p): i for i, p in enumerate(full.pmatrix_indices)}
+        zero_row = cfg_ext.scaler_zero
+
+        def incoming(s):
+            """(msg row, scaler row, pmatrix slot) arriving through s."""
+            if s.back.next is None:
+                return s.back.clv_index, zero_row, s.back.pmatrix_index
+            return (msg_row[s.back.node_index],
+                    msg_scal[s.back.node_index], s.back.pmatrix_index)
+
+        def build_ball(p, valid):
+            """Levelized changed-message ops for pruning at half-edge p."""
+            levels: List[List[List[int]]] = [[] for _ in range(radius)]
+            slot_of: Dict[int, int] = {}
+            n_slots = 0
+            if not valid:
+                return levels, 0
+            sides = [(p.next, p.next.next), (p.next.next, p.next)]
+            frontier = []
+            for h_in, h_far in sides:
+                x = h_in.back                   # half-node back toward p
+                if x.next is None:
+                    continue
+                far_row, far_scal, _ = incoming(h_far)
+                outs = [g for g in x.roundabout() if g is not x]
+                for g in outs:
+                    o = next(s for s in x.roundabout()
+                             if s is not x and s is not g)
+                    o_row, o_scal, o_pm = incoming(o)
+                    sc_row, sc_scal, _ = incoming(g)
+                    slot = n_slots
+                    n_slots += 1
+                    slot_of[g.node_index] = slot
+                    levels[0].append([
+                        slot, far_row, far_scal, 1, 0,
+                        o_row, o_scal, o_pm,
+                        sc_row, sc_scal,
+                        pos_of_pm[int(g.back.pmatrix_index)], 1])
+                    if radius > 1 and g.back.next is not None:
+                        frontier.append((g, 1))
+            while frontier:
+                g_prev, d = frontier.pop()
+                if d >= radius:
+                    continue
+                v_in = g_prev.back              # entered node via this half
+                in_row = slot_of[g_prev.node_index]
+                in_pm = int(v_in.back.pmatrix_index)
+                for gg in v_in.roundabout():
+                    if gg is v_in:
+                        continue
+                    o = next(s for s in v_in.roundabout()
+                             if s is not v_in and s is not gg)
+                    o_row, o_scal, o_pm = incoming(o)
+                    sc_row, sc_scal, _ = incoming(gg)
+                    slot = n_slots
+                    n_slots += 1
+                    slot_of[gg.node_index] = slot
+                    levels[d].append([
+                        slot, in_row, in_row, 0, in_pm,
+                        o_row, o_scal, o_pm,
+                        sc_row, sc_scal,
+                        pos_of_pm[int(gg.back.pmatrix_index)], 1])
+                    if gg.back.next is not None:
+                        frontier.append((gg, d + 1))
+            return levels, n_slots
+
+        balls = []
+        ball_slots = 1
+        for i, g in enumerate(edge_half):
+            for sub_h, p in ((g, g.back), (g.back, g)):
+                if p.next is None:
+                    continue
+                k = len(tip_clvs_behind(sub_h))
+                levels, n_slots = build_ball(p, (n - k) >= 4)
+                ball_slots = max(ball_slots, n_slots + 1)
+                balls.append(levels)
+        assert len(balls) == C
+
+        w_max = max((len(lv) for levels in balls for lv in levels),
+                    default=1)
+        w_max = -(-max(w_max, 1) // 8) * 8
+        if min_ball_width is not None:
+            w_max = max(w_max, int(min_ball_width))
+        dump = ball_slots - 1
+        noop = [dump, 0, zero_row, 1, 0, 0, zero_row, 0, 0, zero_row, 0, 0]
+        ball_ops = np.tile(np.asarray(noop, np.int32),
+                           (C, radius, w_max, 1))
+        for c, levels in enumerate(balls):
+            for d, lv in enumerate(levels):
+                if lv:
+                    ball_ops[c, d, :len(lv)] = np.asarray(lv, np.int32)
+        merge_edges = np.zeros((C, 2), np.int32)
+        ci = 0
+        for i, g in enumerate(edge_half):
+            for sub_h, p in ((g, g.back), (g.back, g)):
+                if p.next is None:
+                    continue
+                merge_edges[ci] = (
+                    pos_of_pm[int(p.next.back.pmatrix_index)],
+                    pos_of_pm[int(p.next.next.back.pmatrix_index)])
+                ci += 1
+
     return SprProgram(
         tree=tree, cfg=cfg, cfg_ext=cfg_ext,
         level_ops=level_ops,
@@ -208,6 +351,10 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
         cand_affected=[c[5] for c in cands],
         edge_endpoints=edge_endpoints,
         edge_node=edge_node,
+        radius=radius,
+        ball_ops=ball_ops,
+        ball_slots=ball_slots,
+        cand_merge_edges=merge_edges,
     )
 
 
@@ -312,6 +459,116 @@ def _spr_all_scores(cfg: PartitionConfig, model, level_ops, edge_rows,
         return scores, t3s
 
     return jax.lax.map(per_cand, jnp.arange(cand_edge.shape[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ball_slots",
+                                              "newton_iters"))
+def _spr_ball_scores(cfg: PartitionConfig, model, level_ops, pmat_slots,
+                     branch_lengths, tipchars, pattern_weights, invariant,
+                     ball_ops, cand_sub_rows, cand_edge, cand_merge_edges,
+                     ball_slots: int, newton_iters: int = 5):
+    """Radius-limited exact SPR scores: ([C, K*W] scores, [C, K*W] t3).
+
+    Per candidate, runs the outward changed-message recursion over its
+    ball ops (seeded through the merged edge's P(t1+t2) = P(t1)P(t2)) and
+    scores each ball edge with the Newton-refined attachment branch —
+    identical math to _spr_all_scores restricted to the radius-K ball."""
+    dtype = cfg.dtype
+    R, S = cfg.rate_cats, cfg.states
+    T = tipchars.shape[-1]
+    K, W = ball_ops.shape[1], ball_ops.shape[2]
+    hi = jax.lax.Precision.HIGHEST
+
+    base_clv, base_scal, pmatrix = _sweep_rt(
+        cfg, model, level_ops, pmat_slots, branch_lengths, tipchars)
+    halves = pmatrix_ops.compute_pmatrices(
+        branch_lengths * 0.5, model.eigenvals, model.eigenvecs,
+        model.inv_eigenvecs, model.rates, model.prop_invar,
+        model.params_indices, dtype=dtype)
+    evecs = model.eigenvecs[model.params_indices]
+    inv_evecs = model.inv_eigenvecs[model.params_indices]
+    evals = model.eigenvals[model.params_indices]
+    thresh = jnp.asarray(cfg.scale_threshold, dtype)
+    factor = jnp.asarray(cfg.scale_factor, dtype)
+
+    def per_cand(c):
+        ops = ball_ops[c]                                  # [K, W, 12]
+        m = cand_merge_edges[c]
+        merged = pmatrix_ops.compute_pmatrices(
+            (branch_lengths[m[0]] + branch_lengths[m[1]])[None],
+            model.eigenvals, model.eigenvecs, model.inv_eigenvecs,
+            model.rates, model.prop_invar, model.params_indices,
+            dtype=dtype)[0]                                # [R, S, S]
+        sub_clv = base_clv[cand_sub_rows[c, 0]]
+        sub_scal = base_scal[cand_sub_rows[c, 1]]
+        t3_0 = branch_lengths[cand_edge[c]]
+
+        scratch = jnp.zeros((ball_slots, R, S, T), dtype)
+        sscr = jnp.zeros((ball_slots, T), jnp.int32)
+        for d in range(K):                                 # static unroll
+            lv = ops[d]                                    # [W, 12]
+            seed = lv[:, BOP_C1_SEED] == 1
+            scr_idx = jnp.where(seed, 0, lv[:, BOP_C1_ROW])
+            c1 = jnp.where(seed[:, None, None, None],
+                           base_clv[lv[:, BOP_C1_ROW]], scratch[scr_idx])
+            s1 = jnp.where(seed[:, None],
+                           base_scal[lv[:, BOP_C1_SCAL]],
+                           sscr[jnp.where(seed, 0, lv[:, BOP_C1_SCAL])])
+            p1 = jnp.where(seed[:, None, None, None], merged[None],
+                           pmatrix[lv[:, BOP_C1_PM]])
+            c2 = base_clv[lv[:, BOP_C2_ROW]]
+            s2 = base_scal[lv[:, BOP_C2_SCAL]]
+            p2 = pmatrix[lv[:, BOP_C2_PM]]
+            left = jnp.einsum("wrij,wrjt->writ", p1, c1,
+                              preferred_element_type=dtype, precision=hi)
+            right = jnp.einsum("wrij,wrjt->writ", p2, c2,
+                               preferred_element_type=dtype, precision=hi)
+            parent = left * right
+            mask = jnp.all(parent < thresh, axis=(1, 2))   # [W, T]
+            parent = jnp.where(mask[:, None, None, :], parent * factor,
+                               parent)
+            snew = s1 + s2 + mask.astype(jnp.int32)
+            scratch = scratch.at[lv[:, BOP_PARENT]].set(parent)
+            sscr = sscr.at[lv[:, BOP_PARENT]].set(snew)
+
+        flat = ops.reshape(K * W, BOP_COLS)
+
+        def per_slot(row):
+            away = scratch[row[BOP_PARENT]]
+            away_s = sscr[row[BOP_PARENT]]
+            other = base_clv[row[BOP_SC_ROW]]
+            other_s = base_scal[row[BOP_SC_SCAL]]
+            ph = halves[row[BOP_EDGE]]
+            ta = jnp.einsum("rij,rjt->rit", ph, away,
+                            preferred_element_type=dtype, precision=hi)
+            tb = jnp.einsum("rij,rjt->rit", ph, other,
+                            preferred_element_type=dtype, precision=hi)
+            clvp = ta * tb
+            scal = away_s + other_s + sub_scal
+            st = derivatives_ops.update_sumtable(
+                clvp, sub_clv, None, None, evecs, inv_evecs,
+                model.cat_freqs, cfg)
+
+            def newton_step(_, t):
+                d1, d2 = derivatives_ops.likelihood_derivatives(
+                    st, t, model.rates, evals, model.cat_pinv,
+                    model.rate_weights, model.cat_freqs, invariant,
+                    pattern_weights, cfg)
+                newton = t - d1 / d2
+                fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
+                t_new = jnp.where(d2 > 0, newton, fallback)
+                return jnp.clip(t_new, 1e-8, 100.0)
+
+            t3 = jax.lax.fori_loop(0, newton_iters, newton_step, t3_0)
+            score = derivatives_ops.sumtable_loglikelihood(
+                st, t3, model.rates, evals, model.cat_pinv,
+                model.rate_weights, model.cat_freqs, invariant,
+                pattern_weights, scal, cfg)
+            return jnp.where(row[BOP_VALID] == 1, score, -jnp.inf), t3
+
+        return jax.lax.map(per_slot, flat)
+
+    return jax.lax.map(per_cand, jnp.arange(ball_ops.shape[0]))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -438,28 +695,44 @@ def spr_round(prog: SprProgram, model,
                            inv_d, erow[prog.root_edge],
                            pslots[prog.root_edge]))
 
-    scores, t3s = _spr_all_scores(
-        cfg, model, lops, erow, pslots, bl, tipchars, pw_d, inv_d,
-        jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_sub_rows),
-        jnp.asarray(prog.cand_gap_mask), jnp.asarray(prog.cand_edge_valid),
-        newton_iters=newton_iters)
+    if prog.radius is not None:
+        scores, t3s = _spr_ball_scores(
+            cfg, model, lops, pslots, bl, tipchars, pw_d, inv_d,
+            jnp.asarray(prog.ball_ops), jnp.asarray(prog.cand_sub_rows),
+            jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_merge_edges),
+            ball_slots=prog.ball_slots, newton_iters=newton_iters)
+        C = prog.ball_ops.shape[0]
+        edge_of = prog.ball_ops[..., BOP_EDGE].reshape(C, -1)
+    else:
+        scores, t3s = _spr_all_scores(
+            cfg, model, lops, erow, pslots, bl, tipchars, pw_d, inv_d,
+            jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_sub_rows),
+            jnp.asarray(prog.cand_gap_mask),
+            jnp.asarray(prog.cand_edge_valid),
+            newton_iters=newton_iters)
+        C = scores.shape[0]
+        edge_of = np.broadcast_to(np.arange(scores.shape[1], dtype=np.int32),
+                                  scores.shape)
     scores = np.asarray(scores)
     t3s = np.asarray(t3s)
 
     # greedy non-conflicting improving move selection
-    C, E = scores.shape
+    cols = scores.shape[1]
     flat = np.argsort(scores, axis=None)[::-1]
     chosen: List[Tuple[int, int]] = []
+    chosen_cols: List[Tuple[int, int]] = []
     used: set = set()
     limit = max_moves if max_moves is not None else C
     for f in flat:
-        c, e = divmod(int(f), E)
-        if scores[c, e] <= logl0 + eps or not np.isfinite(scores[c, e]):
+        c, col = divmod(int(f), cols)
+        if scores[c, col] <= logl0 + eps or not np.isfinite(scores[c, col]):
             break
+        e = int(edge_of[c, col])
         region = prog.cand_affected[c] | set(prog.edge_endpoints[e])
         if used & region:
             continue
         chosen.append((c, e))
+        chosen_cols.append((c, col))
         used |= region
         if len(chosen) >= limit:
             break
@@ -467,26 +740,28 @@ def spr_round(prog: SprProgram, model,
     if not chosen:
         return prog, logl0, 0
 
-    def apply_moves(selection):
+    def apply_moves(selection, sel_cols):
         newick = export_newick(prog.tree.vroot, precision=None)
         work = parse_newick_string(newick)
         halves = {h.node_index: h for h in _half_nodes(work)}
-        for c, e in selection:
+        for (c, e), (_, col) in zip(selection, sel_cols):
             p = halves[int(prog.cand_prune_node[c])]
             r = halves[int(prog.edge_node[e])]
             moves.spr(p, r)
-            t3 = float(t3s[c, e])
+            t3 = float(t3s[c, col])
             p.length = p.back.length = t3
         return parse_newick_string(
             export_newick(work.vroot, precision=None))
 
     bucket = prog.level_ops.shape[:2]
-    new_tree = apply_moves(chosen)
-    new_prog = compile_spr(new_tree, prog.cfg, min_level_shape=bucket)
+    ball_w = prog.ball_ops.shape[2] if prog.radius is not None else None
+    new_tree = apply_moves(chosen, chosen_cols)
+    new_prog = compile_spr(new_tree, prog.cfg, min_level_shape=bucket,
+                           radius=prog.radius, min_ball_width=ball_w)
 
     if len(chosen) == 1:
         # the single-move score is the exact post-move likelihood
-        return new_prog, float(scores[chosen[0]]), 1
+        return new_prog, float(scores[chosen_cols[0]]), 1
 
     # verify the batch exactly; fall back to the single best move if the
     # combined application interacted destructively
@@ -497,11 +772,12 @@ def spr_round(prog: SprProgram, model,
         jnp.asarray(new_prog.branch_lengths, cfg.dtype), tip_n, pw_d,
         inv_d, jnp.asarray(new_prog.edge_rows)[new_prog.root_edge],
         jnp.asarray(new_prog.pmatrix_slots)[new_prog.root_edge]))
-    best_single = float(scores[chosen[0]])
+    best_single = float(scores[chosen_cols[0]])
     if logl_batch >= best_single - eps:
         return new_prog, logl_batch, len(chosen)
-    single_tree = apply_moves(chosen[:1])
-    return (compile_spr(single_tree, prog.cfg, min_level_shape=bucket),
+    single_tree = apply_moves(chosen[:1], chosen_cols[:1])
+    return (compile_spr(single_tree, prog.cfg, min_level_shape=bucket,
+                        radius=prog.radius, min_ball_width=ball_w),
             best_single, 1)
 
 
@@ -536,12 +812,18 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                tipchars_by_label: Dict[str, np.ndarray],
                *, max_rounds: int = 30, newton_iters: int = 5,
                smooth_every: int = 2, smooth_rounds: int = 2,
-               eps: float = 1e-6) -> Tuple[UTree, float, dict]:
+               eps: float = 1e-6,
+               radius: Optional[int] = None) -> Tuple[UTree, float, dict]:
     """Full SPR hill-climb: rounds of batched moves until no improvement.
+
+    radius: regraft-distance bound for each round's scoring (RAxML-NG's
+    SPR radius).  None scores every (prune, regraft) pair exhaustively —
+    O(n^2) message sweeps per round; a radius K costs O(n * 2^K) and is
+    the production setting for large trees.
 
     Returns (tree, logl, stats) with stats = {"rounds", "moves",
     "logl_trace"}; logl_trace is monotone non-decreasing."""
-    prog = compile_spr(tree, cfg)
+    prog = compile_spr(tree, cfg, radius=radius)
     trace: List[float] = []
     total_moves = 0
     rounds = 0

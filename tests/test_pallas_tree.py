@@ -141,6 +141,68 @@ def test_vmem_caterpillar_pool_small():
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=0)
 
 
+@pytest.mark.parametrize("precision", ["highest", "default"])
+def test_static2_protein_matches_xla(precision):
+    """Wide state spaces (protein, span = 80): the 6-term stacked kernel
+    exceeds the 128-deep contraction tile, so choose() routes S=20 to
+    static2 (prefix-group matmuls chunk at any K).  Also exercises the
+    Q-tip padding at parts*S = 60 -> 64."""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    n_tips, sites = 12, 256
+    newick = random_newick(n_tips, rng)
+    tree = T.parse_newick_string(newick)
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(aas), sites)) for _ in range(n_tips)]
+    cfg = PartitionConfig(
+        tips=n_tips, clv_buffers=tree.inner_count, states=20, sites=sites,
+        rate_matrices=1, prob_matrices=2 * n_tips - 3, rate_cats=4,
+        scale_buffers=tree.inner_count, dtype=jnp.float32,
+        pallas_precision=precision)
+    program = engine.compile_tree(tree, cfg)
+    from libpll2_tpu.models.aa import aa_model
+    lg_rates, lg_freqs = aa_model("lg")
+    model = engine.make_model(
+        [lg_rates], [lg_freqs],
+        pll.compute_gamma_cats(0.8, 4), dtype=jnp.float32)
+    raw = np.zeros((n_tips, sites), dtype=np.uint64)
+    for i, s in enumerate(seqs):
+        raw[i] = pll.MAP_AA[np.frombuffer(s.encode(), np.uint8)]
+    tipchars = jnp.asarray(engine.pad_tipchars(raw, cfg))
+    num_slots = int(program.pmatrix_indices.max()) + 1
+    pmats = jnp.zeros((num_slots, 4, 20, 20), jnp.float32)
+    new = pmatrix_ops.compute_pmatrices(
+        jnp.asarray(program.default_branch_lengths, jnp.float32),
+        model.eigenvals, model.eigenvecs, model.inv_eigenvecs,
+        model.rates, model.prop_invar, model.params_indices,
+        dtype=jnp.float32)
+    pmats = pmats.at[jnp.asarray(program.pmatrix_indices)].set(new)
+
+    choice = ppt.choose(program.vmem_prog, cfg, num_slots)
+    assert choice is not None
+    expected = "static2" if precision == "highest" else "static"
+    assert choice[1] == expected
+
+    clv_x, scal_x = run_xla(cfg, program, tipchars, pmats)
+    tb = 128
+    nt = cfg.sites_padded // tb
+    tip_b = jnp.transpose(
+        tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
+    clv_rows, scal_rows = ppt.sweep_static2(tip_b, pmats,
+                                            program.vmem_prog, cfg, tb,
+                                            interpret=True)
+    prog = program.vmem_prog
+    rtol = {"highest": 2e-6, "default": 8e-2}[precision]
+    for clv_idx, row in prog.export_clv_map.items():
+        got = np.asarray(ppt.unblock_clv_row(clv_rows[row]))
+        np.testing.assert_allclose(got, np.asarray(clv_x[clv_idx]),
+                                   rtol=rtol, atol=0)
+    if precision == "highest":
+        for scal_idx, row in prog.export_scaler_map.items():
+            got = np.asarray(ppt.unblock_scaler_row(scal_rows[row]))
+            np.testing.assert_array_equal(got, np.asarray(scal_x[scal_idx]))
+
+
 def test_bf16_splits_bit_domain():
     """The split parts must be computed with integer-domain rounding:
     XLA:TPU runs with excess precision allowed and may elide a lossy

@@ -150,3 +150,69 @@ def test_hill_climb_monotone_beats_legacy_and_caches():
     labels = sorted(chars)
     assert sorted(n.label for n in tree.nodes[:8]) == labels
     assert tree.binary
+
+
+def test_radius_scores_match_exhaustive():
+    """Radius-limited scores must EQUAL the exhaustive scores for every
+    pair inside the ball (same math over the bounded recursion), and at a
+    radius covering the whole tree the ball must reach exactly the
+    exhaustive scorer's valid regraft set."""
+    start, cfg, model, chars = _setup(n_tips=10, sites=96, seed=3)
+    prog_x = search_fast.compile_spr(start, cfg)
+    prog_r = search_fast.compile_spr(start, cfg, radius=16)
+    cfg_ext = prog_x.cfg_ext
+    tipchars = search_fast._tipchars_for(prog_x, chars)
+    pw, inv = search_fast._aux_arrays(prog_x)
+    bl = jnp.asarray(prog_x.branch_lengths, cfg_ext.dtype)
+    lops = jnp.asarray(prog_x.level_ops)
+    pslots = jnp.asarray(prog_x.pmatrix_slots)
+
+    scores_x, t3_x = search_fast._spr_all_scores(
+        cfg_ext, model, lops, jnp.asarray(prog_x.edge_rows), pslots,
+        bl, tipchars, pw, inv,
+        jnp.asarray(prog_x.cand_edge), jnp.asarray(prog_x.cand_sub_rows),
+        jnp.asarray(prog_x.cand_gap_mask),
+        jnp.asarray(prog_x.cand_edge_valid), newton_iters=3)
+    scores_r, t3_r = search_fast._spr_ball_scores(
+        cfg_ext, model, jnp.asarray(prog_r.level_ops), pslots, bl,
+        tipchars, pw, inv, jnp.asarray(prog_r.ball_ops),
+        jnp.asarray(prog_r.cand_sub_rows), jnp.asarray(prog_r.cand_edge),
+        jnp.asarray(prog_r.cand_merge_edges),
+        ball_slots=prog_r.ball_slots, newton_iters=3)
+    scores_x = np.asarray(scores_x)
+    scores_r = np.asarray(scores_r)
+    t3_x, t3_r = np.asarray(t3_x), np.asarray(t3_r)
+
+    C = scores_x.shape[0]
+    edge_of = prog_r.ball_ops[..., search_fast.BOP_EDGE].reshape(C, -1)
+    valid = prog_r.ball_ops[..., search_fast.BOP_VALID].reshape(C, -1)
+    compared = 0
+    for c in range(C):
+        seen = set()
+        for b in np.nonzero(valid[c])[0]:
+            e = int(edge_of[c, b])
+            assert abs(scores_r[c, b] - scores_x[c, e]) \
+                < 1e-8 * max(1.0, abs(scores_x[c, e])), (c, b, e)
+            assert abs(t3_r[c, b] - t3_x[c, e]) < 1e-8
+            seen.add(e)
+            compared += 1
+        want = set(np.nonzero(prog_x.cand_edge_valid[c])[0].tolist())
+        assert seen == want, (c, seen ^ want)
+    assert compared > 50
+
+
+def test_radius_hill_climb_monotone_and_caches():
+    start, cfg, model, chars = _setup(n_tips=9, sites=160, seed=29,
+                                      scramble_seed=77)
+    compiles0 = search_fast._spr_ball_scores._cache_size()
+    tree, logl, stats = search_fast.hill_climb(
+        start, cfg, model, chars, max_rounds=8, radius=3)
+    trace = stats["logl_trace"]
+    for a, b in zip(trace, trace[1:]):
+        assert b >= a - 1e-9, trace
+    assert stats["moves"] >= 1
+    # fixed shapes: every round of every topology hits the jit cache
+    assert (search_fast._spr_ball_scores._cache_size() - compiles0) == 1
+    # the returned logl is the exact likelihood of the returned tree
+    want = _exact_logl(tree, cfg, model, chars)
+    assert abs(logl - want) < 1e-6
