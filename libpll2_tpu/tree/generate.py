@@ -51,3 +51,48 @@ def random_tipchars(n_tips: int, sites: int, rng: np.random.Generator
     """Encoded DNA tip states (bitmask codes 1,2,4,8) [n_tips, sites]."""
     return (np.uint64(1) << rng.integers(0, 4, (n_tips, sites),
                                          dtype=np.uint64))
+
+
+def simulate_alignment(tree, sites: int, rng: np.random.Generator,
+                       subst, freqs, rates) -> dict:
+    """Simulate tip states down `tree` under GTR(+Γ sites-rates).
+
+    Host-side, vectorized over sites (inverse-CDF sampling per rate
+    category).  Returns {tip label: uint64 bitmask codes [sites]} ready
+    for the engine / search layers.  Demo & benchmark signal generator —
+    the reference ships no simulator; semantics follow its P(t) kernel
+    (core_pmatrix.c:24-258)."""
+    from ..models.ratematrix import update_eigen
+    freqs = np.asarray(freqs, float)
+    freqs = freqs / freqs.sum()
+    S = len(freqs)
+    evals, evecs, ivecs = update_eigen(np.asarray(subst, float), freqs)
+    rates = np.asarray(rates, float)
+
+    def pmat(t):
+        p = np.eye(S) + (ivecs * np.expm1(evals * t)[None, :]) @ evecs
+        p = np.clip(p, 0.0, None)
+        return p / p.sum(axis=1, keepdims=True)
+
+    cats = rng.integers(0, len(rates), sites)
+    state0 = rng.choice(S, size=sites, p=freqs)
+    out = {}
+    stack = [(h, state0) for h in tree.vroot.roundabout()]
+    while stack:
+        half, state = stack.pop()
+        child = half.back
+        new = np.empty_like(state)
+        for r_idx, r in enumerate(rates):
+            idx = np.flatnonzero(cats == r_idx)
+            if not idx.size:
+                continue
+            cum = np.cumsum(pmat(half.length * r), axis=1)
+            u = rng.random(idx.size)
+            new[idx] = np.minimum(
+                (u[:, None] > cum[state[idx]]).sum(axis=1), S - 1)
+        if child.next is None:
+            out[child.label] = np.uint64(1) << new.astype(np.uint64)
+        else:
+            stack.extend((h, new) for h in child.roundabout()
+                         if h is not child)
+    return out

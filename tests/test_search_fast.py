@@ -216,3 +216,26 @@ def test_radius_hill_climb_monotone_and_caches():
     # the returned logl is the exact likelihood of the returned tree
     want = _exact_logl(tree, cfg, model, chars)
     assert abs(logl - want) < 1e-6
+
+
+def test_simulate_alignment_valid_codes():
+    """Generator sanity: every simulated tip state is a single-base
+    bitmask, labels cover the tips, and short branches preserve state
+    more often than long ones (signal exists for search demos)."""
+    from libpll2_tpu.tree.generate import simulate_alignment
+    rng = np.random.default_rng(1)
+    short = T.parse_newick_string("((a:0.01,b:0.01):0.01,c:0.01,d:0.01);")
+    long = T.parse_newick_string("((a:5.0,b:5.0):5.0,c:5.0,d:5.0);")
+    rates = pll.compute_gamma_cats(1.0, 4)
+    subst = [1.0, 2.0, 1.0, 1.0, 2.0, 1.0]
+    freqs = [0.25] * 4
+    out_s = simulate_alignment(short, 2000, rng, subst, freqs, rates)
+    out_l = simulate_alignment(long, 2000, rng, subst, freqs, rates)
+    assert sorted(out_s) == ["a", "b", "c", "d"]
+    for v in out_s.values():
+        assert np.isin(v, [1, 2, 4, 8]).all()
+    agree_s = float(np.mean(out_s["a"] == out_s["b"]))
+    agree_l = float(np.mean(out_l["a"] == out_l["b"]))
+    assert agree_s > 0.9 > agree_l
+    # saturated branches approach the stationary agreement rate (~0.25)
+    assert abs(agree_l - 0.25) < 0.06
