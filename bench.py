@@ -55,6 +55,12 @@ def measure_engine() -> tuple[float, float, int]:
     import jax
     import jax.numpy as jnp
 
+    # NOTE: the persistent compilation cache is deliberately NOT enabled
+    # here: through the axon tunnel a cache-MISS compile of a program
+    # containing Pallas custom calls hangs indefinitely (reproduced with
+    # a trivial kernel; warm loads work).  Pure-XLA surfaces (tests,
+    # CPU examples) do enable it — see tests/conftest.py.
+
     from libpll2_tpu import engine
     from libpll2_tpu import tree as T
     from libpll2_tpu.config import PartitionConfig

@@ -823,14 +823,19 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
 
     Returns (tree, logl, stats) with stats = {"rounds", "moves",
     "logl_trace"}; logl_trace is monotone non-decreasing."""
+    import time
+
     prog = compile_spr(tree, cfg, radius=radius)
     trace: List[float] = []
+    round_secs: List[float] = []
     total_moves = 0
     rounds = 0
     for r in range(max_rounds):
+        t0 = time.perf_counter()
         prog, logl, applied = spr_round(
             prog, model, tipchars_by_label, newton_iters=newton_iters,
             eps=eps)
+        round_secs.append(time.perf_counter() - t0)
         trace.append(logl)
         rounds += 1
         total_moves += applied
@@ -853,4 +858,5 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
         pslots[prog.root_edge]))
     trace.append(logl)
     return prog.tree, logl, {"rounds": rounds, "moves": total_moves,
-                             "logl_trace": trace}
+                             "logl_trace": trace,
+                             "round_secs": round_secs}

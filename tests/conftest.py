@@ -19,3 +19,11 @@ import jax  # noqa: E402
 # The axon TPU plugin pins jax_platforms despite the env var; force CPU here.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: repeat suite runs skip XLA:CPU recompiles
+# of the heavier programs (>1s compiles are cached).
+import pathlib  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).resolve().parent.parent
+                      / ".jax_cache"))
