@@ -88,8 +88,8 @@ print(f"stepwise parsimony start: cost {pars_cost}  "
       f"({time.time()-t0:.1f}s)")
 
 # ---- ML hill-climb -------------------------------------------------------
-# Measured (256 taxa x 4096 sites, radius 5): TPU v5e f32 22.4 s/round
-# steady-state, 31.8 s first round including compile; host CPU f64 runs
+# Measured (256 taxa x 4096 sites, radius 5): TPU v5e f32 4.8 s/round
+# steady-state (78.7 s first round including compile); host CPU f64 runs
 # the identical move sequence at ~243 s/round (logL agree to 3e-8 rel).
 dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
 cfg = PartitionConfig(

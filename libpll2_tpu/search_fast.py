@@ -454,7 +454,7 @@ def _spr_all_scores(cfg: PartitionConfig, model, level_ops, edge_rows,
                 pattern_weights, scal, cfg)
             return score, t3
 
-        scores, t3s = jax.lax.map(per_edge, jnp.arange(E))
+        scores, t3s = jax.lax.map(per_edge, jnp.arange(E), batch_size=32)
         scores = jnp.where(cand_edge_valid[c], scores, -jnp.inf)
         return scores, t3s
 
@@ -566,7 +566,9 @@ def _spr_ball_scores(cfg: PartitionConfig, model, level_ops, pmat_slots,
                 pattern_weights, scal, cfg)
             return jnp.where(row[BOP_VALID] == 1, score, -jnp.inf), t3
 
-        return jax.lax.map(per_slot, flat)
+        # vectorize one ball level (W slots) at a time: a plain lax.map
+        # serializes K*W tiny [R, S, T] programs and is dispatch-bound
+        return jax.lax.map(per_slot, flat, batch_size=W)
 
     return jax.lax.map(per_cand, jnp.arange(ball_ops.shape[0]))
 
@@ -625,7 +627,7 @@ def _smooth_rt(cfg: PartitionConfig, model, level_ops, edge_rows,
 
             return jax.lax.fori_loop(0, newton_iters, newton_step, t0)
 
-        proposal = jax.lax.map(per_edge, (edge_rows, bl))
+        proposal = jax.lax.map(per_edge, (edge_rows, bl), batch_size=32)
         return jnp.where(color_mask, proposal, bl).astype(dtype)
 
     def one_round(bl, _):
