@@ -696,7 +696,8 @@ def optimize_branch_lengths(program: FullTreeProgram, cfg: PartitionConfig,
 
             return jax.lax.fori_loop(0, newton_iters, newton_step, t0)
 
-        proposal = jax.lax.map(per_edge, (edge_rows, bl))
+        proposal = jax.lax.map(per_edge, (edge_rows, bl),
+                               batch_size=32)
         return jnp.where(color_mask, proposal, bl).astype(dtype)
 
     colors = np.asarray(program.edge_colors)
@@ -764,7 +765,7 @@ def score_placements(program: FullTreeProgram, cfg: PartitionConfig,
             combined, scal, model.cat_freqs, model.rate_weights,
             model.cat_pinv, invariant, pattern_weights, cfg)
 
-    return jax.lax.map(per_edge, (edge_rows, halves))
+    return jax.lax.map(per_edge, (edge_rows, halves), batch_size=32)
 
 
 @functools.partial(jax.jit, static_argnames=("program", "cfg"))
@@ -797,7 +798,8 @@ def branch_derivatives(program: FullTreeProgram, cfg: PartitionConfig,
             model.cat_pinv, model.rate_weights, model.cat_freqs, invariant,
             pattern_weights, cfg)
 
-    return jax.lax.map(per_edge, (edge_rows, branch_lengths))
+    return jax.lax.map(per_edge, (edge_rows, branch_lengths),
+                       batch_size=32)
 
 
 @functools.partial(jax.jit, static_argnames=("program", "cfg"))
@@ -819,7 +821,8 @@ def all_edge_loglikelihoods(program: FullTreeProgram, cfg: PartitionConfig,
             pmatrix[slot], model.cat_freqs, model.rate_weights,
             model.cat_pinv, invariant, pattern_weights, cfg)
 
-    return jax.lax.map(per_edge, (edge_rows, pmat_slots))
+    return jax.lax.map(per_edge, (edge_rows, pmat_slots),
+                       batch_size=32)
 
 
 # --------------------------------------------------------------------------
@@ -920,7 +923,8 @@ def _lla_bwd(program, full, cfg, res, g):
         return jnp.einsum("rt,rit,rjt->rij", bar, A, msg_b,
                           precision=hi)
 
-    pmat_bar = jax.lax.map(per_edge, (edge_rows, pmat_slots))     # [E,R,S,S]
+    pmat_bar = jax.lax.map(per_edge, (edge_rows, pmat_slots),
+                           batch_size=32)        # [E,R,S,S]
 
     def pm_fn(bl_, evals, evecs, inv_evecs, rates, pinv):
         return pmatrix_ops.compute_pmatrices(
