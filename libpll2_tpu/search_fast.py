@@ -815,7 +815,9 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                *, max_rounds: int = 30, newton_iters: int = 5,
                smooth_every: int = 2, smooth_rounds: int = 2,
                eps: float = 1e-6,
-               radius: Optional[int] = None) -> Tuple[UTree, float, dict]:
+               radius: Optional[int] = None,
+               radius_max: Optional[int] = None,
+               checkpoint_dir=None) -> Tuple[UTree, float, dict]:
     """Full SPR hill-climb: rounds of batched moves until no improvement.
 
     radius: regraft-distance bound for each round's scoring (RAxML-NG's
@@ -823,15 +825,34 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     O(n^2) message sweeps per round; a radius K costs O(n * 2^K) and is
     the production setting for large trees.
 
+    radius_max: adaptive schedule (RAxML-style) — when a radius-K round
+    finds no improving move, the radius doubles (one extra compile per
+    distinct radius) up to radius_max before the climb is declared
+    converged.
+
+    checkpoint_dir: if set, every round appends the current newick +
+    exact logL to <dir>/search_trace.jsonl and rewrites
+    <dir>/latest.newick, so a killed search resumes by restarting from
+    latest.newick (all state lives in the tree: branch lengths included).
+
     Returns (tree, logl, stats) with stats = {"rounds", "moves",
-    "logl_trace"}; logl_trace is monotone non-decreasing."""
+    "logl_trace", "round_secs", "radius_trace"}; logl_trace is monotone
+    non-decreasing."""
+    import json
+    import pathlib
     import time
+
+    ckpt = pathlib.Path(checkpoint_dir) if checkpoint_dir else None
+    if ckpt:
+        ckpt.mkdir(parents=True, exist_ok=True)
 
     prog = compile_spr(tree, cfg, radius=radius)
     trace: List[float] = []
     round_secs: List[float] = []
+    radius_trace: List[Optional[int]] = []
     total_moves = 0
     rounds = 0
+    cur_radius = radius
     for r in range(max_rounds):
         t0 = time.perf_counter()
         prog, logl, applied = spr_round(
@@ -839,9 +860,23 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
             eps=eps)
         round_secs.append(time.perf_counter() - t0)
         trace.append(logl)
+        radius_trace.append(cur_radius)
         rounds += 1
         total_moves += applied
+        if ckpt:
+            newick = export_newick(prog.tree.vroot, precision=9)
+            (ckpt / "latest.newick").write_text(newick + "\n")
+            with open(ckpt / "search_trace.jsonl", "a") as f:
+                f.write(json.dumps({"round": rounds, "logl": logl,
+                                    "moves": applied,
+                                    "radius": cur_radius}) + "\n")
         if applied == 0:
+            if (cur_radius is not None and radius_max is not None
+                    and cur_radius < radius_max):
+                cur_radius = min(2 * cur_radius, radius_max)
+                prog = compile_spr(prog.tree, cfg, radius=cur_radius,
+                                   min_level_shape=prog.level_ops.shape[:2])
+                continue
             break
         if smooth_every and (r + 1) % smooth_every == 0:
             prog = smooth_branches(prog, model, tipchars_by_label,
@@ -861,4 +896,5 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     trace.append(logl)
     return prog.tree, logl, {"rounds": rounds, "moves": total_moves,
                              "logl_trace": trace,
-                             "round_secs": round_secs}
+                             "round_secs": round_secs,
+                             "radius_trace": radius_trace}

@@ -239,3 +239,31 @@ def test_simulate_alignment_valid_codes():
     assert agree_s > 0.9 > agree_l
     # saturated branches approach the stationary agreement rate (~0.25)
     assert abs(agree_l - 0.25) < 0.06
+
+
+def test_adaptive_radius_and_checkpoint(tmp_path):
+    """radius_max: a stalled radius-1 climb must widen its radius and
+    keep improving (reaching the exhaustive optimum on this small case);
+    checkpointing leaves a resumable latest.newick + monotone trace."""
+    import json
+    start, cfg, model, chars = _setup(n_tips=9, sites=160, seed=29,
+                                      scramble_seed=77)
+    tree_x, logl_x, _ = search_fast.hill_climb(
+        start, cfg, model, chars, max_rounds=10)
+
+    tree_r, logl_r, stats = search_fast.hill_climb(
+        start, cfg, model, chars, max_rounds=20, radius=1, radius_max=8,
+        checkpoint_dir=tmp_path)
+    assert max(r for r in stats["radius_trace"] if r) > 1
+    assert logl_r >= logl_x - 1e-6
+
+    lines = [json.loads(x) for x in
+             (tmp_path / "search_trace.jsonl").read_text().splitlines()]
+    assert len(lines) == stats["rounds"]
+    logls = [x["logl"] for x in lines]
+    assert all(b >= a - 1e-9 for a, b in zip(logls, logls[1:]))
+    resumed = T.parse_newick_string(
+        (tmp_path / "latest.newick").read_text())
+    assert resumed.tip_count == 9
+    # the checkpointed tree prices to the last recorded logL
+    assert abs(_exact_logl(resumed, cfg, model, chars) - logls[-1]) < 1e-5
