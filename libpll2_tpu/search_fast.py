@@ -717,6 +717,9 @@ def spr_round(prog: SprProgram, model,
                                   scores.shape)
     scores = np.asarray(scores)
     t3s = np.asarray(t3s)
+    # NaNs (f32 pathologies) sort FIRST under descending argsort and
+    # would end selection immediately — mask them out
+    scores = np.where(np.isnan(scores), -np.inf, scores)
 
     # greedy non-conflicting improving move selection
     cols = scores.shape[1]
@@ -847,6 +850,13 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
         ckpt.mkdir(parents=True, exist_ok=True)
 
     prog = compile_spr(tree, cfg, radius=radius)
+    if smooth_every:
+        # optimize the starting branch lengths first: parsimony starting
+        # trees carry arbitrary lengths, and SPR scores against unsmoothed
+        # branches under-rank good moves (RAxML-NG smooths before its
+        # first round too)
+        prog = smooth_branches(prog, model, tipchars_by_label,
+                               rounds=smooth_rounds)
     trace: List[float] = []
     round_secs: List[float] = []
     radius_trace: List[Optional[int]] = []
