@@ -88,9 +88,12 @@ print(f"stepwise parsimony start: cost {pars_cost}  "
       f"({time.time()-t0:.1f}s)")
 
 # ---- ML hill-climb -------------------------------------------------------
-# Measured (256 taxa x 4096 sites, radius 5): TPU v5e f32 4.8 s/round
-# steady-state (78.7 s first round including compile); host CPU f64 runs
-# the identical move sequence at ~243 s/round (logL agree to 3e-8 rel).
+# Measured on TPU v5e (f32):
+#   256 taxa x 4096 sites, radius 5:  4.8 s/round steady-state
+#     (host CPU f64 runs the identical move sequence at ~243 s/round;
+#      final logL agrees to 3e-8 relative)
+#  1024 taxa x 2048 sites, radius 6: 27.9 s/round steady-state,
+#     9 rounds / 61 moves / ~12 min end-to-end incl. parsimony + compile
 dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
 cfg = PartitionConfig(
     tips=TIPS, clv_buffers=start.inner_count, states=4, sites=SITES,

@@ -350,15 +350,15 @@ def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
     span = cfg.rate_cats * cfg.states
     itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
     parts = _parts_for(cfg)
-    # topology-specialized kernels first: fastest, and the only kernels
-    # with per-rate-scaler support.  Bounded op count keeps the unrolled
-    # Mosaic program to a sane compile time.  The stacked-term v1 kernel
-    # (single MXU pass per child) measures ~12% faster than the c-major
-    # v2 (tools/kbench.py on v5e); v2 remains the fallback where v1's
-    # stacked slot pool or 128-deep term stack doesn't fit — it uses half
-    # the pool VMEM and compiles ~2x faster.
-    if (len(STATIC_TERMS[parts]) * span <= 128
-            and prog.n_ops <= STATIC_MAX_OPS):
+    # topology-specialized kernel first: fastest at every measured state
+    # count (v5e: DNA 8.4e9, S=20 protein 1.2e9 upd/s — contraction depths
+    # beyond 128 chunk fine on the MXU), and the only kernel family with
+    # per-rate-scaler support.  Bounded op count keeps the unrolled Mosaic
+    # program to a sane compile time.  The c-major "static2" variant stays
+    # available explicitly (half the pool VMEM, ~2x faster compile) but is
+    # NOT auto-chosen: its on-chip execution is currently pathological
+    # (~1000x slow; ROADMAP) despite exact parity.
+    if prog.n_ops <= STATIC_MAX_OPS:
         # site block capped: Mosaic compile memory/time scales with
         # n_ops x tb for the unrolled program (16k blocks OOM the
         # compiler at ~250 ops)
@@ -366,11 +366,6 @@ def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
                              target=STATIC_MAX_TB)
         if tb >= 128:
             return tb, "static"
-    if prog.n_ops <= STATIC_MAX_OPS:
-        tb = pick_site_block(prog, cfg, num_pmatrices, "static2",
-                             target=STATIC_MAX_TB)
-        if tb >= 128:
-            return tb, "static2"
     if cfg.per_rate_scalers:
         return None
     if len(SPLIT_TERMS[parts]) * span <= 128:

@@ -6,6 +6,7 @@ n_ops x (tb / lane-tile): this harness quantifies that and the throughput
 cost of smaller blocks, to pick STATIC_MAX_TB / the block policy.
 
 Usage: python tools/kbench.py [tips] [sites] [modes..]
+Env: KB_BLOCKS=..., KB_PREC=highest|high|default, KB_STATES=4|20
 """
 from __future__ import annotations
 
@@ -36,21 +37,32 @@ BLOCKS = [int(b) for b in
 
 
 def main():
+    import os
+    states = int(os.environ.get("KB_STATES", 4))
     rng = np.random.default_rng(0)
     tree = T.parse_newick_string(balanced_newick(TIPS))
-    raw = random_tipchars(TIPS, SITES, rng)
     cfg = PartitionConfig(
-        tips=TIPS, clv_buffers=tree.inner_count, states=4, sites=SITES,
+        tips=TIPS, clv_buffers=tree.inner_count, states=states, sites=SITES,
         rate_matrices=1, prob_matrices=2 * TIPS - 3, rate_cats=4,
         scale_buffers=tree.inner_count, dtype=jnp.float32,
-        pallas_precision=__import__("os").environ.get("KB_PREC", "highest"))
+        pallas_precision=os.environ.get("KB_PREC", "highest"))
     program = engine.compile_tree(tree, cfg)
-    model = engine.make_model(
-        [[1.0, 2.0, 1.0, 1.0, 2.0, 1.0]], [[0.25] * 4],
-        pll.compute_gamma_cats(1.0, 4), dtype=jnp.float32)
+    if states == 4:
+        model = engine.make_model(
+            [[1.0, 2.0, 1.0, 1.0, 2.0, 1.0]], [[0.25] * 4],
+            pll.compute_gamma_cats(1.0, 4), dtype=jnp.float32)
+        raw = random_tipchars(TIPS, SITES, rng)
+    else:
+        from libpll2_tpu.models.aa import aa_model
+        lg_rates, lg_freqs = aa_model("lg")
+        model = engine.make_model([lg_rates], [lg_freqs],
+                                  pll.compute_gamma_cats(1.0, 4),
+                                  dtype=jnp.float32)
+        raw = (np.uint64(1) << rng.integers(0, states, (TIPS, SITES),
+                                            dtype=np.uint64))
     tipchars = jnp.asarray(engine.pad_tipchars(raw, cfg))
     num_slots = int(program.pmatrix_indices.max()) + 1
-    pmats = jnp.zeros((num_slots, 4, 4, 4), jnp.float32)
+    pmats = jnp.zeros((num_slots, 4, states, states), jnp.float32)
     new = pmatrix_ops.compute_pmatrices(
         jnp.asarray(program.default_branch_lengths, jnp.float32),
         model.eigenvals, model.eigenvecs, model.inv_eigenvecs,
@@ -109,10 +121,12 @@ def main():
                       f"{type(exc).__name__}: {str(exc)[:100]}", flush=True)
                 continue
             dt = float("inf")
-            for _ in range(3):
+            for i in range(3):
+                # distinct argument per rep: the tunnel DEDUPES identical
+                # dispatches and reports ~0 for repeated calls
                 t0 = time.perf_counter()
-                jax.block_until_ready(chain(jnp.float32(1e-12), tip_b,
-                                            pmats))
+                jax.block_until_ready(chain(jnp.float32(1e-12 * (i + 1)),
+                                            tip_b, pmats))
                 dt = min(dt, (time.perf_counter() - t0) / REPS)
             ups = n_ops * SITES / dt
             print(f"tb={tb:6d} {mode:8s} compile {t_compile1:6.1f}s "
