@@ -849,6 +849,9 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     if ckpt:
         ckpt.mkdir(parents=True, exist_ok=True)
 
+    # normalize to parser template indexing (trees from other builders —
+    # e.g. stepwise addition — may carry non-template clv indices)
+    tree = parse_newick_string(export_newick(tree.vroot, precision=None))
     prog = compile_spr(tree, cfg, radius=radius)
     if smooth_every:
         # optimize the starting branch lengths first: parsimony starting
