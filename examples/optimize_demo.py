@@ -4,7 +4,7 @@
   2. autodiff model fitting: GTR rates + frequencies + branch lengths +
      gamma shape in one compiled Adam loop (fit.fit_model)
   3. a greedy ML SPR round on the batched placement scorer
-     (search.ml_spr_round)
+     (legacy_search.ml_spr_round)
 
 The reference library provides single-branch Newton machinery and SPR
 mechanics; the optimization loops live in its clients (RAxML-NG).  Here
@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import libpll2_tpu as pll
-from libpll2_tpu import engine, fit, search
+from libpll2_tpu import engine, fit
+from libpll2_tpu import legacy_search as search
 from libpll2_tpu import tree as T
 from libpll2_tpu.config import PartitionConfig
 

@@ -11,7 +11,6 @@ partition API, with alignment sites sharded across TPU meshes.
 from . import constants
 from . import engine
 from . import fit
-from . import search
 from . import multipartition, search_fast
 from .config import PartitionConfig
 from .constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
@@ -29,7 +28,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Partition", "Operation", "PartitionConfig", "levelize_operations",
-    "engine", "fit", "search", "search_fast",
+    "engine", "fit", "search_fast",
     "compute_gamma_cats", "update_eigen", "constants",
     "Parsimony", "FastParsimony", "ParsBuildOp", "ParsRecOp",
     "MAP_NT", "MAP_AA", "MAP_BIN", "MAP_GT10", "MAP_GT16", "MAPS",

@@ -1,4 +1,8 @@
-"""Maximum-likelihood tree search primitives.
+"""LEGACY per-topology-compile SPR search (comparison baseline).
+
+Superseded by `search_fast.hill_climb` — the production, cache-hitting
+search.  Kept as an independent implementation for cross-checks in
+tests/test_search.py; not part of the public API.
 
 The reference provides the *mechanics* of search (SPR/NNI moves, partial
 traversals, parsimony stepwise addition) and leaves ML search loops to

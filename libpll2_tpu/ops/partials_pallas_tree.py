@@ -1185,7 +1185,8 @@ def vmem_bytes_static2(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
     pool = prog.pool_size * parts * span * tb * 2
     spool = prog.pool_size * sr * tb * 4
     tipblk = 2 * cfg.tips * tb * 4
-    pmat = num_pmatrices * span * (cm + parts * cfg.states) * 2
+    kq = -(-(parts * cfg.states) // 16) * 16       # ptq tile padding
+    pmat = num_pmatrices * span * (cm + kq) * 2
     expbuf = max(len(prog.exports), 1) * span * tb * 4
     work = 4 * parts * span * tb * 4
     return pool + spool + tipblk + pmat + expbuf + work + (1 << 20)
@@ -1200,7 +1201,8 @@ def vmem_bytes_static(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
     pool = prog.pool_size * n_terms * span * tb * 2
     spool = prog.pool_size * sr * tb * 4
     tipblk = 2 * cfg.tips * tb * 4
-    pmat = num_pmatrices * span * (n_terms * span + parts * cfg.states) * 2
+    kq = -(-(parts * cfg.states) // 16) * 16       # ptq tile padding
+    pmat = num_pmatrices * span * (n_terms * span + kq) * 2
     expbuf = max(len(prog.exports), 1) * span * tb * 4
     work = 3 * n_terms * span * tb * 2
     return pool + spool + tipblk + pmat + expbuf + work + (1 << 20)

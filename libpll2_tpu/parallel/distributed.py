@@ -38,7 +38,11 @@ def initialize(coordinator_address: Optional[str] = None,
     explicitly.  Idempotent: a second call (or a plain single-process run
     without a coordinator) is a no-op.
     """
-    if jax.process_count() > 1:
+    # do NOT call jax.process_count()/jax.devices() here: that would
+    # instantiate the single-process backend and make the distributed
+    # init below a silent no-op (its RuntimeError is swallowed)
+    from jax._src import distributed as _jdist
+    if getattr(_jdist.global_state, "client", None) is not None:
         return jax.process_count()          # already initialized
     kwargs = {}
     if coordinator_address is not None:

@@ -85,6 +85,29 @@ def _pad_level_ops(level_ops: np.ndarray, cfg: PartitionConfig,
 
 
 @dataclasses.dataclass
+class BallGroup:
+    """One ball-size bucket of prune candidates (radius-limited scoring).
+
+    Ball sizes are wildly skewed (an interior candidate's radius-K ball has
+    ~2^K regraft edges; a near-leaf candidate's has a handful), so padding
+    every candidate to the global max wastes ~4x device work.  Candidates
+    are bucketed by ball size into FIXED-size groups (sizes depend only on
+    C, so shapes stay jit-stable across rounds), each padded only to its
+    own max widths."""
+    cand_ids: np.ndarray                   # [Cg] global candidate positions
+    ball_levels: Tuple[np.ndarray, ...]    # K arrays [Cg, W_d, 12] int32
+    score_ops: np.ndarray                  # [Cg, Vg, 12] int32 (valid ops)
+    sub_rows: np.ndarray                   # [Cg, 2] int32
+    edge_pos: np.ndarray                   # [Cg] int32 (pruned edge)
+    merge_edges: np.ndarray                # [Cg, 2] int32
+
+    @property
+    def shape_key(self) -> tuple:
+        return (tuple(a.shape[1] for a in self.ball_levels),
+                self.score_ops.shape[1])
+
+
+@dataclasses.dataclass
 class SprProgram:
     """Host-compiled SPR search state for one topology.
 
@@ -113,12 +136,11 @@ class SprProgram:
     edge_node: np.ndarray           # [E] node_index of the A-side half-node
     # radius-limited scoring (present when compiled with radius=K):
     radius: Optional[int] = None
-    ball_ops: Optional[np.ndarray] = None    # [C, K, W, 12] int32
+    ball_groups: Optional[Tuple[BallGroup, ...]] = None
     ball_slots: Optional[int] = None         # scratch rows per candidate
-    cand_merge_edges: Optional[np.ndarray] = None   # [C, 2] edge positions
 
 
-# ball_ops column layout (one row = one outward "changed message" op,
+# ball-op column layout (one row = one outward "changed message" op,
 # which is ALSO one (candidate, regraft-edge) score slot):
 BOP_PARENT = 0        # scratch slot this op writes
 BOP_C1_ROW = 1        # base msg row (seed) | scratch slot (deeper)
@@ -138,7 +160,8 @@ BOP_COLS = 12
 def compile_spr(tree: UTree, cfg: PartitionConfig,
                 min_level_shape: Optional[Tuple[int, int]] = None,
                 radius: Optional[int] = None,
-                min_ball_width: Optional[np.ndarray] = None
+                min_group_shapes: Optional[Tuple[tuple, ...]] = None,
+                min_ball_slots: Optional[int] = None
                 ) -> SprProgram:
     """Compile one topology into runtime search arrays + candidate table."""
     if cfg.per_rate_scalers:
@@ -216,7 +239,7 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
     C = len(cands)
     assert C == 3 * n - 6, (C, n)
 
-    ball_ops = ball_slots = merge_edges = None
+    ball_groups = ball_slots = None
     if radius is not None:
         # Radius-limited exact scoring (the reference clients' bounded
         # partial traversals, examples/partial-traversal/partial.c:365-463,
@@ -299,7 +322,7 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
             return levels, n_slots
 
         balls = []
-        ball_slots = 1
+        ball_slots = 1 if min_ball_slots is None else int(min_ball_slots)
         for i, g in enumerate(edge_half):
             for sub_h, p in ((g, g.back), (g.back, g)):
                 if p.next is None:
@@ -310,19 +333,10 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                 balls.append(levels)
         assert len(balls) == C
 
-        w_max = max((len(lv) for levels in balls for lv in levels),
-                    default=1)
-        w_max = -(-max(w_max, 1) // 8) * 8
-        if min_ball_width is not None:
-            w_max = max(w_max, int(min_ball_width))
         dump = ball_slots - 1
-        noop = [dump, 0, zero_row, 1, 0, 0, zero_row, 0, 0, zero_row, 0, 0]
-        ball_ops = np.tile(np.asarray(noop, np.int32),
-                           (C, radius, w_max, 1))
-        for c, levels in enumerate(balls):
-            for d, lv in enumerate(levels):
-                if lv:
-                    ball_ops[c, d, :len(lv)] = np.asarray(lv, np.int32)
+        noop = np.asarray(
+            [dump, 0, zero_row, 1, 0, 0, zero_row, 0, 0, zero_row, 0, 0],
+            np.int32)
         merge_edges = np.zeros((C, 2), np.int32)
         ci = 0
         for i, g in enumerate(edge_half):
@@ -333,6 +347,58 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                     pos_of_pm[int(p.next.back.pmatrix_index)],
                     pos_of_pm[int(p.next.next.back.pmatrix_index)])
                 ci += 1
+
+        # ---- ball-size buckets (see BallGroup) --------------------------
+        valid_counts = np.asarray(
+            [sum(len(lv) for lv in levels) for levels in balls])
+        order = np.argsort(-valid_counts, kind="stable")
+        if C >= 48:
+            s0, s1 = -(-C // 8), -(-3 * C // 8)
+            sizes = (s0, s1, C - s0 - s1)
+        else:
+            sizes = (C,)
+        all_sub_rows = np.stack([c[1] for c in cands]).astype(np.int32)
+        all_edge_pos = np.array([c[0] for c in cands], np.int32)
+        groups = []
+        off = 0
+        for gi, sz in enumerate(sizes):
+            ids = np.sort(order[off:off + sz])
+            off += sz
+            pin = (min_group_shapes[gi]
+                   if min_group_shapes is not None
+                   and len(min_group_shapes) == len(sizes)
+                   and len(min_group_shapes[gi][0]) == radius else None)
+            w_ds = [max((len(balls[c][d]) for c in ids), default=0)
+                    for d in range(radius)]
+            w_ds = [-(-max(w, 1) // 8) * 8 for w in w_ds]
+            if pin is not None:
+                w_ds = [max(w, int(m)) for w, m in zip(w_ds, pin[0])]
+            lvls = []
+            for d, wd in enumerate(w_ds):
+                arr = np.tile(noop, (sz, wd, 1))
+                for k, c in enumerate(ids):
+                    lv = balls[c][d]
+                    if lv:
+                        arr[k, :len(lv)] = np.asarray(lv, np.int32)
+                lvls.append(arr)
+            vg = max((int(valid_counts[c]) for c in ids), default=0)
+            vg = -(-max(vg, 1) // 8) * 8
+            if pin is not None:
+                vg = max(vg, int(pin[1]))
+            sco = np.tile(noop, (sz, vg, 1))
+            for k, c in enumerate(ids):
+                flat = [row for lv in balls[c] for row in lv]
+                if flat:
+                    sco[k, :len(flat)] = np.asarray(flat, np.int32)
+            groups.append(BallGroup(
+                cand_ids=ids.astype(np.int32),
+                ball_levels=tuple(lvls),
+                score_ops=sco,
+                sub_rows=all_sub_rows[ids],
+                edge_pos=all_edge_pos[ids],
+                merge_edges=merge_edges[ids],
+            ))
+        ball_groups = tuple(groups)
 
     return SprProgram(
         tree=tree, cfg=cfg, cfg_ext=cfg_ext,
@@ -352,9 +418,8 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
         edge_endpoints=edge_endpoints,
         edge_node=edge_node,
         radius=radius,
-        ball_ops=ball_ops,
+        ball_groups=ball_groups,
         ball_slots=ball_slots,
-        cand_merge_edges=merge_edges,
     )
 
 
@@ -461,30 +526,55 @@ def _spr_all_scores(cfg: PartitionConfig, model, level_ops, edge_rows,
     return jax.lax.map(per_cand, jnp.arange(cand_edge.shape[0]))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ball_slots",
-                                              "newton_iters"))
-def _spr_ball_scores(cfg: PartitionConfig, model, level_ops, pmat_slots,
-                     branch_lengths, tipchars, pattern_weights, invariant,
-                     ball_ops, cand_sub_rows, cand_edge, cand_merge_edges,
-                     ball_slots: int, newton_iters: int = 5):
-    """Radius-limited exact SPR scores: ([C, K*W] scores, [C, K*W] t3).
-
-    Per candidate, runs the outward changed-message recursion over its
-    ball ops (seeded through the merged edge's P(t1+t2) = P(t1)P(t2)) and
-    scores each ball edge with the Newton-refined attachment branch —
-    identical math to _spr_all_scores restricted to the radius-K ball."""
-    dtype = cfg.dtype
-    R, S = cfg.rate_cats, cfg.states
-    T = tipchars.shape[-1]
-    K, W = ball_ops.shape[1], ball_ops.shape[2]
-    hi = jax.lax.Precision.HIGHEST
-
+def _spr_base(cfg: PartitionConfig, model, level_ops, pmat_slots,
+              branch_lengths, tipchars):
+    """Shared per-round device state for the ball-group scorers: the base
+    directional-message sweep and the half-length P matrices.  Hoisted out
+    of _spr_ball_scores so the (per-ball-size-group) scorer calls reuse
+    ONE sweep; the big arrays stay device-resident between calls."""
     base_clv, base_scal, pmatrix = _sweep_rt(
         cfg, model, level_ops, pmat_slots, branch_lengths, tipchars)
     halves = pmatrix_ops.compute_pmatrices(
         branch_lengths * 0.5, model.eigenvals, model.eigenvecs,
         model.inv_eigenvecs, model.rates, model.prop_invar,
-        model.params_indices, dtype=dtype)
+        model.params_indices, dtype=cfg.dtype)
+    return base_clv, base_scal, pmatrix, halves
+
+
+_spr_base_jit = jax.jit(_spr_base, static_argnames=("cfg",))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ball_slots",
+                                              "newton_iters", "cand_batch",
+                                              "score_batch"))
+def _spr_ball_scores(cfg: PartitionConfig, model, base_clv, base_scal,
+                     pmatrix, halves, branch_lengths, pattern_weights,
+                     invariant, ball_levels, score_ops, sub_rows, edge_pos,
+                     merge_edges, ball_slots: int,
+                     newton_iters: int = 5, cand_batch: int = 32,
+                     score_batch: int = 104):
+    """Radius-limited exact SPR scores of ONE ball-size group:
+    ([Cg, Vg] scores, [Cg, Vg] t3).
+
+    Per candidate, runs the outward changed-message recursion over its
+    jagged ball levels (seeded through the merged edge's
+    P(t1+t2) = P(t1)P(t2)) and scores each valid ball edge (the compacted
+    [Cg, Vg] score table) with the Newton-refined attachment branch —
+    identical math to _spr_all_scores restricted to the radius-K ball.
+
+    cand_batch candidates run vmapped per map step: serial per-candidate
+    dispatch leaves the chip >99% idle (tiny [W, R, S, T] programs);
+    batching widens every einsum / Newton reduction by cand_batch and cuts
+    a 256-taxon round from ~25 s to ~1 s on v5e.  NOTE: certain
+    (cand_batch, sites) shapes trip an XLA:TPU batched-gather miscompile
+    that zeroes the recursion scratch (observed at cand_batch 48/56/64
+    with 4096 sites; 16/32/40/127 are fine) — spr_round carries an
+    all--inf canary that raises instead of silently searching garbage."""
+    dtype = cfg.dtype
+    R, S = cfg.rate_cats, cfg.states
+    T = base_clv.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+
     evecs = model.eigenvecs[model.params_indices]
     inv_evecs = model.inv_eigenvecs[model.params_indices]
     evals = model.eigenvals[model.params_indices]
@@ -492,21 +582,20 @@ def _spr_ball_scores(cfg: PartitionConfig, model, level_ops, pmat_slots,
     factor = jnp.asarray(cfg.scale_factor, dtype)
 
     def per_cand(c):
-        ops = ball_ops[c]                                  # [K, W, 12]
-        m = cand_merge_edges[c]
+        m = merge_edges[c]
         merged = pmatrix_ops.compute_pmatrices(
             (branch_lengths[m[0]] + branch_lengths[m[1]])[None],
             model.eigenvals, model.eigenvecs, model.inv_eigenvecs,
             model.rates, model.prop_invar, model.params_indices,
             dtype=dtype)[0]                                # [R, S, S]
-        sub_clv = base_clv[cand_sub_rows[c, 0]]
-        sub_scal = base_scal[cand_sub_rows[c, 1]]
-        t3_0 = branch_lengths[cand_edge[c]]
+        sub_clv = base_clv[sub_rows[c, 0]]
+        sub_scal = base_scal[sub_rows[c, 1]]
+        t3_0 = branch_lengths[edge_pos[c]]
 
         scratch = jnp.zeros((ball_slots, R, S, T), dtype)
         sscr = jnp.zeros((ball_slots, T), jnp.int32)
-        for d in range(K):                                 # static unroll
-            lv = ops[d]                                    # [W, 12]
+        for lv_all in ball_levels:                         # static unroll
+            lv = lv_all[c]                                 # [W_d, 12]
             seed = lv[:, BOP_C1_SEED] == 1
             scr_idx = jnp.where(seed, 0, lv[:, BOP_C1_ROW])
             c1 = jnp.where(seed[:, None, None, None],
@@ -530,8 +619,6 @@ def _spr_ball_scores(cfg: PartitionConfig, model, level_ops, pmat_slots,
             snew = s1 + s2 + mask.astype(jnp.int32)
             scratch = scratch.at[lv[:, BOP_PARENT]].set(parent)
             sscr = sscr.at[lv[:, BOP_PARENT]].set(snew)
-
-        flat = ops.reshape(K * W, BOP_COLS)
 
         def per_slot(row):
             away = scratch[row[BOP_PARENT]]
@@ -566,11 +653,12 @@ def _spr_ball_scores(cfg: PartitionConfig, model, level_ops, pmat_slots,
                 pattern_weights, scal, cfg)
             return jnp.where(row[BOP_VALID] == 1, score, -jnp.inf), t3
 
-        # vectorize one ball level (W slots) at a time: a plain lax.map
-        # serializes K*W tiny [R, S, T] programs and is dispatch-bound
-        return jax.lax.map(per_slot, flat, batch_size=W)
+        # score_batch slots at a time: a plain lax.map serializes V tiny
+        # [R, S, T] programs and is dispatch-bound
+        return jax.lax.map(per_slot, score_ops[c], batch_size=score_batch)
 
-    return jax.lax.map(per_cand, jnp.arange(ball_ops.shape[0]))
+    return jax.lax.map(per_cand, jnp.arange(score_ops.shape[0]),
+                       batch_size=cand_batch)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -674,13 +762,27 @@ def _half_nodes(tree: UTree):
 def spr_round(prog: SprProgram, model,
               tipchars_by_label: Dict[str, np.ndarray],
               *, newton_iters: int = 5, max_moves: Optional[int] = None,
-              eps: float = 1e-6, pattern_weights=None, invariant=None
+              eps: float = 1e-6, pattern_weights=None, invariant=None,
+              timings: Optional[dict] = None
               ) -> Tuple[SprProgram, float, int]:
     """One SPR round: score all pairs, apply all non-conflicting improving
     moves, smooth nothing (see hill_climb for smoothing cadence).
 
+    timings: if a dict is passed, per-phase wall seconds are accumulated
+    into it ("score", "select", "apply", "verify") — production search
+    diagnostics (compile stalls show up as score-phase outliers).
+
     Returns (new_program, logl, moves_applied); logl is exact for the
     returned topology and monotone vs. the input's."""
+    import time as _time
+
+    def _mark(key, t0):
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (_time.perf_counter()
+                                                    - t0)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
     cfg = prog.cfg_ext
     tipchars = _tipchars_for(prog, tipchars_by_label)
     pw_d, inv_d = _aux_arrays(prog)
@@ -698,75 +800,108 @@ def spr_round(prog: SprProgram, model,
                            pslots[prog.root_edge]))
 
     if prog.radius is not None:
-        scores, t3s = _spr_ball_scores(
-            cfg, model, lops, pslots, bl, tipchars, pw_d, inv_d,
-            jnp.asarray(prog.ball_ops), jnp.asarray(prog.cand_sub_rows),
-            jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_merge_edges),
-            ball_slots=prog.ball_slots, newton_iters=newton_iters)
-        C = prog.ball_ops.shape[0]
-        edge_of = prog.ball_ops[..., BOP_EDGE].reshape(C, -1)
+        base = _spr_base_jit(cfg, model, lops, pslots, bl, tipchars)
+        flat_scores, flat_t3, flat_cand, flat_edge = [], [], [], []
+        for g in prog.ball_groups:
+            s, t3 = _spr_ball_scores(
+                cfg, model, *base, bl, pw_d, inv_d,
+                tuple(jnp.asarray(a) for a in g.ball_levels),
+                jnp.asarray(g.score_ops), jnp.asarray(g.sub_rows),
+                jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges),
+                ball_slots=prog.ball_slots, newton_iters=newton_iters)
+            s, t3 = np.asarray(s), np.asarray(t3)
+            vmask = g.score_ops[..., BOP_VALID] == 1
+            nv = int(vmask.sum())
+            # canary for the XLA:TPU batched-gather miscompile (see
+            # _spr_ball_scores): a corrupted recursion scores EVERY valid
+            # slot -inf — never a legitimate outcome at this scale
+            if nv > 16 and np.all(np.isneginf(s[vmask])):
+                raise RuntimeError(
+                    "SPR ball scorer returned -inf for every valid slot — "
+                    "suspected XLA:TPU batched-gather miscompile at this "
+                    "(cand_batch, sites) shape; change cand_batch in "
+                    "_spr_ball_scores")
+            rows, cols = np.nonzero(vmask)
+            flat_scores.append(s[rows, cols])
+            flat_t3.append(t3[rows, cols])
+            flat_cand.append(g.cand_ids[rows])
+            flat_edge.append(g.score_ops[rows, cols, BOP_EDGE])
+        scores = np.concatenate(flat_scores)
+        t3s = np.concatenate(flat_t3)
+        cand_of = np.concatenate(flat_cand)
+        edge_of = np.concatenate(flat_edge)
+        C = len(prog.cand_affected)
+        _t = _mark("score", _t)
     else:
-        scores, t3s = _spr_all_scores(
+        scores2, t3s2 = _spr_all_scores(
             cfg, model, lops, erow, pslots, bl, tipchars, pw_d, inv_d,
             jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_sub_rows),
             jnp.asarray(prog.cand_gap_mask),
             jnp.asarray(prog.cand_edge_valid),
             newton_iters=newton_iters)
-        C = scores.shape[0]
-        edge_of = np.broadcast_to(np.arange(scores.shape[1], dtype=np.int32),
-                                  scores.shape)
-    scores = np.asarray(scores)
-    t3s = np.asarray(t3s)
+        scores2, t3s2 = np.asarray(scores2), np.asarray(t3s2)
+        C, E = scores2.shape
+        scores = scores2.reshape(-1)
+        t3s = t3s2.reshape(-1)
+        cand_of = np.repeat(np.arange(C, dtype=np.int32), E)
+        edge_of = np.tile(np.arange(E, dtype=np.int32), C)
     # NaNs (f32 pathologies) sort FIRST under descending argsort and
     # would end selection immediately — mask them out
     scores = np.where(np.isnan(scores), -np.inf, scores)
 
-    # greedy non-conflicting improving move selection
-    cols = scores.shape[1]
-    flat = np.argsort(scores, axis=None)[::-1]
+    # greedy non-conflicting improving move selection (flat arrays)
+    order = np.argsort(scores, kind="stable")[::-1]
     chosen: List[Tuple[int, int]] = []
-    chosen_cols: List[Tuple[int, int]] = []
+    chosen_idx: List[int] = []
     used: set = set()
     limit = max_moves if max_moves is not None else C
-    for f in flat:
-        c, col = divmod(int(f), cols)
-        if scores[c, col] <= logl0 + eps or not np.isfinite(scores[c, col]):
+    for f in order:
+        f = int(f)
+        if scores[f] <= logl0 + eps or not np.isfinite(scores[f]):
             break
-        e = int(edge_of[c, col])
+        c, e = int(cand_of[f]), int(edge_of[f])
         region = prog.cand_affected[c] | set(prog.edge_endpoints[e])
         if used & region:
             continue
         chosen.append((c, e))
-        chosen_cols.append((c, col))
+        chosen_idx.append(f)
         used |= region
         if len(chosen) >= limit:
             break
 
+    _t = _mark("select", _t)
     if not chosen:
         return prog, logl0, 0
 
-    def apply_moves(selection, sel_cols):
+    def apply_moves(selection, sel_idx):
         newick = export_newick(prog.tree.vroot, precision=None)
         work = parse_newick_string(newick)
         halves = {h.node_index: h for h in _half_nodes(work)}
-        for (c, e), (_, col) in zip(selection, sel_cols):
+        for (c, e), f in zip(selection, sel_idx):
             p = halves[int(prog.cand_prune_node[c])]
             r = halves[int(prog.edge_node[e])]
             moves.spr(p, r)
-            t3 = float(t3s[c, col])
+            t3 = float(t3s[f])
             p.length = p.back.length = t3
         return parse_newick_string(
             export_newick(work.vroot, precision=None))
 
     bucket = prog.level_ops.shape[:2]
-    ball_w = prog.ball_ops.shape[2] if prog.radius is not None else None
-    new_tree = apply_moves(chosen, chosen_cols)
+    if prog.radius is not None:
+        group_shapes = tuple(g.shape_key for g in prog.ball_groups)
+        ball_s = prog.ball_slots
+    else:
+        group_shapes = ball_s = None
+    new_tree = apply_moves(chosen, chosen_idx)
     new_prog = compile_spr(new_tree, prog.cfg, min_level_shape=bucket,
-                           radius=prog.radius, min_ball_width=ball_w)
+                           radius=prog.radius,
+                           min_group_shapes=group_shapes,
+                           min_ball_slots=ball_s)
+    _t = _mark("apply", _t)
 
     if len(chosen) == 1:
         # the single-move score is the exact post-move likelihood
-        return new_prog, float(scores[chosen_cols[0]]), 1
+        return new_prog, float(scores[chosen_idx[0]]), 1
 
     # verify the batch exactly; fall back to the single best move if the
     # combined application interacted destructively
@@ -777,12 +912,15 @@ def spr_round(prog: SprProgram, model,
         jnp.asarray(new_prog.branch_lengths, cfg.dtype), tip_n, pw_d,
         inv_d, jnp.asarray(new_prog.edge_rows)[new_prog.root_edge],
         jnp.asarray(new_prog.pmatrix_slots)[new_prog.root_edge]))
-    best_single = float(scores[chosen_cols[0]])
+    best_single = float(scores[chosen_idx[0]])
+    _t = _mark("verify", _t)
     if logl_batch >= best_single - eps:
         return new_prog, logl_batch, len(chosen)
-    single_tree = apply_moves(chosen[:1], chosen_cols[:1])
+    single_tree = apply_moves(chosen[:1], chosen_idx[:1])
     return (compile_spr(single_tree, prog.cfg, min_level_shape=bucket,
-                        radius=prog.radius, min_ball_width=ball_w),
+                        radius=prog.radius,
+                        min_group_shapes=group_shapes,
+                        min_ball_slots=ball_s),
             best_single, 1)
 
 
@@ -848,6 +986,11 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     ckpt = pathlib.Path(checkpoint_dir) if checkpoint_dir else None
     if ckpt:
         ckpt.mkdir(parents=True, exist_ok=True)
+        # a resumed run appends round numbers starting at 1 again; a
+        # separator record keeps the trace parseable as distinct runs
+        if (ckpt / "search_trace.jsonl").exists():
+            with open(ckpt / "search_trace.jsonl", "a") as f:
+                f.write(json.dumps({"run_start": True}) + "\n")
 
     # normalize to parser template indexing (trees from other builders —
     # e.g. stepwise addition — may carry non-template clv indices)
@@ -866,12 +1009,16 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     total_moves = 0
     rounds = 0
     cur_radius = radius
+    phase_timings: List[dict] = []
     for r in range(max_rounds):
         t0 = time.perf_counter()
+        tm: dict = {"shapes": tuple(g.shape_key for g in prog.ball_groups)
+                    if prog.ball_groups is not None else None}
         prog, logl, applied = spr_round(
             prog, model, tipchars_by_label, newton_iters=newton_iters,
-            eps=eps)
+            eps=eps, timings=tm)
         round_secs.append(time.perf_counter() - t0)
+        phase_timings.append(tm)
         trace.append(logl)
         radius_trace.append(cur_radius)
         rounds += 1
@@ -887,13 +1034,19 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
             if (cur_radius is not None and radius_max is not None
                     and cur_radius < radius_max):
                 cur_radius = min(2 * cur_radius, radius_max)
+                # group widths can't be pinned across a radius change (K
+                # differs; compile_spr ignores mismatched pins); the
+                # scratch size only grows
                 prog = compile_spr(prog.tree, cfg, radius=cur_radius,
-                                   min_level_shape=prog.level_ops.shape[:2])
+                                   min_level_shape=prog.level_ops.shape[:2],
+                                   min_ball_slots=prog.ball_slots)
                 continue
             break
         if smooth_every and (r + 1) % smooth_every == 0:
+            ts = time.perf_counter()
             prog = smooth_branches(prog, model, tipchars_by_label,
                                    rounds=smooth_rounds)
+            tm["smooth"] = time.perf_counter() - ts
     if smooth_every:
         prog = smooth_branches(prog, model, tipchars_by_label,
                                rounds=smooth_rounds)
@@ -910,4 +1063,5 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     return prog.tree, logl, {"rounds": rounds, "moves": total_moves,
                              "logl_trace": trace,
                              "round_secs": round_secs,
-                             "radius_trace": radius_trace}
+                             "radius_trace": radius_trace,
+                             "phase_timings": phase_timings}

@@ -67,3 +67,84 @@ def test_sharded_engine_logl_identical():
     sharded = float(engine.loglikelihood(
         program, cfg, model, bl, tc_g, pw_g, inv_g))
     np.testing.assert_allclose(sharded, plain, rtol=1e-12)
+
+
+def test_real_multiprocess_bit_equality(tmp_path):
+    """SURVEY §2.6 across a TRUE process boundary: 2 coordinator-connected
+    processes (2 virtual CPU devices each -> a 4-device global mesh) run
+    logL + all-branch (d1, d2) through parallel/distributed.py's actual
+    multi-host path; results must be bit-identical between processes and
+    match the single-process value."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    worker = repo / "tests" / "_distributed_worker.py"
+    with socket.socket() as s:            # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    nproc = 2
+    outs = [tmp_path / f"w{i}.npz" for i in range(nproc)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), str(nproc), str(port),
+         str(outs[i])],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(nproc)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+        assert "WORKER_OK" in log, log
+
+    res = [np.load(o) for o in outs]
+    # per-host site ownership tiles the global axis
+    assert (int(res[0]["slice_start"]), int(res[0]["slice_stop"])) == (0, 256)
+    assert (int(res[1]["slice_start"]), int(res[1]["slice_stop"])) == (256, 512)
+    # bit-identical across processes (same global XLA program)
+    assert float(res[0]["logl"]) == float(res[1]["logl"])
+    np.testing.assert_array_equal(res[0]["d1"], res[1]["d1"])
+    np.testing.assert_array_equal(res[0]["d2"], res[1]["d2"])
+
+    # single-process reference on the identical problem
+    from .test_parity_tree import random_seqs
+    rng = np.random.default_rng(31)
+    n_tips, sites = 12, 2 * nproc * 128
+    tree = T.parse_newick_string(random_newick(n_tips, rng))
+    seqs = random_seqs(n_tips, sites, rng)
+    cfg = PartitionConfig(
+        tips=n_tips, clv_buffers=tree.inner_count, states=4, sites=sites,
+        rate_matrices=1, prob_matrices=2 * n_tips - 3, rate_cats=4,
+        scale_buffers=tree.inner_count, dtype=jnp.float64)
+    program = engine.compile_tree(tree, cfg)
+    full = engine.compile_tree_full(tree, cfg)
+    model = engine.make_model(
+        [[1.2, 2.1, 0.7, 1.3, 2.5, 1.0]], [[0.3, 0.25, 0.2, 0.25]],
+        pll.compute_gamma_cats(0.8, 4), dtype=jnp.float64)
+    raw = np.zeros((n_tips, cfg.sites), dtype=np.uint64)
+    for i, s in enumerate(seqs):
+        raw[i] = pll.MAP_NT[np.frombuffer(s.encode(), np.uint8)]
+    tipchars = engine.pad_tipchars(raw, cfg)
+    pw = np.zeros(cfg.sites_padded)
+    pw[:sites] = 1.0
+    inv = np.full(cfg.sites_padded, -1, np.int32)
+    plain = float(engine.loglikelihood(
+        program, cfg, model,
+        jnp.asarray(program.default_branch_lengths, jnp.float64),
+        jnp.asarray(tipchars), jnp.asarray(pw), jnp.asarray(inv)))
+    d1p, d2p = engine.branch_derivatives(
+        full, cfg, model,
+        jnp.asarray(full.default_branch_lengths, jnp.float64),
+        jnp.asarray(tipchars), jnp.asarray(pw), jnp.asarray(inv))
+    np.testing.assert_allclose(float(res[0]["logl"]), plain, rtol=1e-12)
+    np.testing.assert_allclose(res[0]["d1"], np.asarray(d1p), rtol=1e-9)
+    np.testing.assert_allclose(res[0]["d2"], np.asarray(d2p), rtol=1e-9)

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import libpll2_tpu as pll
-from libpll2_tpu import engine, search
+from libpll2_tpu import engine
+from libpll2_tpu import legacy_search as search
 from libpll2_tpu import tree as T
 from libpll2_tpu.config import PartitionConfig
 from libpll2_tpu.models.ratematrix import update_eigen

@@ -5,7 +5,7 @@ Pins the three claims search_fast makes:
      post-move topology (the gap-tip remainder identity + SPR branch
      semantics of utree_moves.c:119-254);
   2. a hill-climb's logL trace is monotone and ends at least as high as
-     the legacy per-candidate-compile search (search.ml_spr_round);
+     the legacy per-candidate-compile search (legacy_search.ml_spr_round);
   3. every device program compiles exactly ONCE across all rounds and
      topologies (jit cache hits — the whole point of runtime topology).
 """
@@ -136,7 +136,7 @@ def test_hill_climb_monotone_beats_legacy_and_caches():
     # full-suite run) when that lands on top of a large in-process
     # compilation cache.
     jax.clear_caches()
-    from libpll2_tpu import search
+    from libpll2_tpu import legacy_search as search
     legacy = start
     legacy_logl = None
     for _ in range(10):
@@ -173,31 +173,37 @@ def test_radius_scores_match_exhaustive():
         jnp.asarray(prog_x.cand_edge), jnp.asarray(prog_x.cand_sub_rows),
         jnp.asarray(prog_x.cand_gap_mask),
         jnp.asarray(prog_x.cand_edge_valid), newton_iters=3)
-    scores_r, t3_r = search_fast._spr_ball_scores(
+    base = search_fast._spr_base_jit(
         cfg_ext, model, jnp.asarray(prog_r.level_ops), pslots, bl,
-        tipchars, pw, inv, jnp.asarray(prog_r.ball_ops),
-        jnp.asarray(prog_r.cand_sub_rows), jnp.asarray(prog_r.cand_edge),
-        jnp.asarray(prog_r.cand_merge_edges),
-        ball_slots=prog_r.ball_slots, newton_iters=3)
+        tipchars)
     scores_x = np.asarray(scores_x)
-    scores_r = np.asarray(scores_r)
-    t3_x, t3_r = np.asarray(t3_x), np.asarray(t3_r)
+    t3_x = np.asarray(t3_x)
 
     C = scores_x.shape[0]
-    edge_of = prog_r.ball_ops[..., search_fast.BOP_EDGE].reshape(C, -1)
-    valid = prog_r.ball_ops[..., search_fast.BOP_VALID].reshape(C, -1)
+    seen_by_cand = {c: set() for c in range(C)}
     compared = 0
+    for g in prog_r.ball_groups:
+        scores_r, t3_r = search_fast._spr_ball_scores(
+            cfg_ext, model, *base, bl, pw, inv,
+            tuple(jnp.asarray(a) for a in g.ball_levels),
+            jnp.asarray(g.score_ops), jnp.asarray(g.sub_rows),
+            jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges),
+            ball_slots=prog_r.ball_slots, newton_iters=3)
+        scores_r, t3_r = np.asarray(scores_r), np.asarray(t3_r)
+        edge_of = g.score_ops[..., search_fast.BOP_EDGE]
+        valid = g.score_ops[..., search_fast.BOP_VALID]
+        for k in range(len(g.cand_ids)):
+            c = int(g.cand_ids[k])
+            for b in np.nonzero(valid[k])[0]:
+                e = int(edge_of[k, b])
+                assert abs(scores_r[k, b] - scores_x[c, e]) \
+                    < 1e-8 * max(1.0, abs(scores_x[c, e])), (c, b, e)
+                assert abs(t3_r[k, b] - t3_x[c, e]) < 1e-8
+                seen_by_cand[c].add(e)
+                compared += 1
     for c in range(C):
-        seen = set()
-        for b in np.nonzero(valid[c])[0]:
-            e = int(edge_of[c, b])
-            assert abs(scores_r[c, b] - scores_x[c, e]) \
-                < 1e-8 * max(1.0, abs(scores_x[c, e])), (c, b, e)
-            assert abs(t3_r[c, b] - t3_x[c, e]) < 1e-8
-            seen.add(e)
-            compared += 1
         want = set(np.nonzero(prog_x.cand_edge_valid[c])[0].tolist())
-        assert seen == want, (c, seen ^ want)
+        assert seen_by_cand[c] == want, (c, seen_by_cand[c] ^ want)
     assert compared > 50
 
 
