@@ -1,12 +1,16 @@
 """Benchmark: CLV site-update throughput of the fused engine on TPU vs. the
 reference libpll-2 AVX2 kernels on the host CPU.
 
-Prints ONE JSON line:
+Prints ONE JSON line; primary metric:
   {"metric": "clv_site_updates_per_sec", "value": N,
    "unit": "site-updates/s/chip", "vs_baseline": N / C-reference-AVX2}
+plus an "extra" object carrying the full BASELINE.md metric set: a taxa
+sweep (64/256/1024), protein S=20 throughput, the production SPR search
+round time, and cold-compile latency — each engine case asserts on-chip
+Pallas/XLA logL parity before it is timed.
 
-One site-update = one CLV operation applied to one alignment column over all
-rate categories (the unit implied by the reference's speed harness,
+One site-update = one CLV operation applied to one alignment column over
+all rate categories (the unit implied by the reference's speed harness,
 test/runtest.py speed mode).  The baseline is measured, not assumed
 (BASELINE.md: no published absolute numbers exist).
 """
@@ -27,6 +31,7 @@ TIPS = int(os.environ.get("BENCH_TIPS", 256))
 SITES = int(os.environ.get("BENCH_SITES", 65536))
 RATE_CATS = 4
 REPS = int(os.environ.get("BENCH_REPS", 64))
+FULL = os.environ.get("BENCH_FULL", "1") != "0"   # extra metric set
 
 
 def measure_reference() -> float:
@@ -51,15 +56,18 @@ def measure_reference() -> float:
     raise RuntimeError(f"bench_ref output unparseable: {out.stdout}")
 
 
-def measure_engine() -> tuple[float, float, int]:
+def measure_case(tips: int, sites: int, states: int = 4,
+                 reps: int = REPS) -> dict:
+    """Throughput + latency + on-chip kernel parity for one engine case.
+
+    NOTE: the persistent compilation cache is deliberately NOT enabled:
+    through the axon tunnel a cache-MISS compile of a program containing
+    Pallas custom calls hangs indefinitely (tools/cacheprobe.py).
+    """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
-
-    # NOTE: the persistent compilation cache is deliberately NOT enabled
-    # here: through the axon tunnel a cache-MISS compile of a program
-    # containing Pallas custom calls hangs indefinitely (reproduced with
-    # a trivial kernel; warm loads work).  Pure-XLA surfaces (tests,
-    # CPU examples) do enable it — see tests/conftest.py.
 
     from libpll2_tpu import engine
     from libpll2_tpu import tree as T
@@ -67,23 +75,29 @@ def measure_engine() -> tuple[float, float, int]:
     from libpll2_tpu.models.gamma import compute_gamma_cats
     from libpll2_tpu.tree.generate import balanced_newick, random_tipchars
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-
-    tree = T.parse_newick_string(balanced_newick(TIPS))
+    tree = T.parse_newick_string(balanced_newick(tips))
     cfg = PartitionConfig(
-        tips=TIPS, clv_buffers=tree.inner_count, states=4, sites=SITES,
-        rate_matrices=1, prob_matrices=2 * TIPS - 3, rate_cats=RATE_CATS,
+        tips=tips, clv_buffers=tree.inner_count, states=states, sites=sites,
+        rate_matrices=1, prob_matrices=2 * tips - 3, rate_cats=RATE_CATS,
         scale_buffers=tree.inner_count, dtype=jnp.float32, site_block=128)
     program = engine.compile_tree(tree, cfg)
-    model = engine.make_model(
-        [[1.0, 2.0, 1.0, 1.0, 2.0, 1.0]], [[0.25, 0.25, 0.25, 0.25]],
-        compute_gamma_cats(1.0, RATE_CATS), dtype=jnp.float32)
+    if states == 20:
+        from libpll2_tpu.models.aa import aa_model
+        rates, freqs = aa_model("lg")
+        model = engine.make_model([rates], [freqs],
+                                  compute_gamma_cats(1.0, RATE_CATS),
+                                  dtype=jnp.float32)
+    else:
+        model = engine.make_model(
+            [[1.0, 2.0, 1.0, 1.0, 2.0, 1.0]],
+            [[1.0 / states] * states],
+            compute_gamma_cats(1.0, RATE_CATS), dtype=jnp.float32)
 
     rng = np.random.default_rng(0)
-    raw = random_tipchars(TIPS, cfg.sites_alloc, rng)
+    raw = random_tipchars(tips, cfg.sites_alloc, rng, states=states)
     tipchars = jnp.asarray(engine.pad_tipchars(raw, cfg))
     pattern_weights = np.zeros(cfg.sites_padded, dtype=np.float32)
-    pattern_weights[:SITES] = 1.0
+    pattern_weights[:sites] = 1.0
     pattern_weights = jnp.asarray(pattern_weights)
     invariant = jnp.asarray(np.full(cfg.sites_padded, -1, dtype=np.int32))
     bl = jnp.asarray(program.default_branch_lengths, jnp.float32)
@@ -92,19 +106,20 @@ def measure_engine() -> tuple[float, float, int]:
     logl = engine.loglikelihood(program, cfg, model, bl, tipchars,
                                 pattern_weights, invariant)
     jax.block_until_ready(logl)
-    print(f"compile+first run: {time.time() - t0:.1f}s  logl={float(logl)}",
-          file=sys.stderr)
+    cold_s = time.time() - t0
+    print(f"[{tips}x{sites} S={states}] compile+first run: {cold_s:.1f}s  "
+          f"logl={float(logl)}", file=sys.stderr)
+    assert np.isfinite(float(logl)), "non-finite logL on chip"
 
     # on-chip kernel parity: the Pallas sweep and the XLA einsum path must
     # price the same tree identically (the reference's all-variants-one-
     # golden-file rule, test/runtest.py:44-56, applied on real hardware)
-    import dataclasses
     cfg_xla = dataclasses.replace(cfg, use_pallas=False)
     logl_xla = engine.loglikelihood(program, cfg_xla, model, bl, tipchars,
                                     pattern_weights, invariant)
     parity = abs(float(logl) - float(logl_xla)) / abs(float(logl_xla))
-    print(f"kernel parity: pallas={float(logl)} xla={float(logl_xla)} "
-          f"rel={parity:.2e}", file=sys.stderr)
+    print(f"[{tips}x{sites} S={states}] parity: pallas={float(logl)} "
+          f"xla={float(logl_xla)} rel={parity:.2e}", file=sys.stderr)
     assert parity < 5e-6, \
         f"Pallas/XLA logL disagree on chip: rel error {parity}"
 
@@ -115,6 +130,8 @@ def measure_engine() -> tuple[float, float, int]:
     # explicit ARGUMENTS: closing over them embeds them as HLO constants,
     # which costs ~400s of extra cold-compile through the remote-compile
     # tunnel (tools/scanprobe.py isolates this).
+    import jax
+
     @jax.jit
     def chain(bl0, tipchars, pattern_weights, invariant):
         def body(carry, _):
@@ -122,7 +139,7 @@ def measure_engine() -> tuple[float, float, int]:
                                      bl0 * (1.0 + 1e-12 * carry),
                                      tipchars, pattern_weights, invariant)
             return r, r
-        last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
+        last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return last
 
     jax.block_until_ready(chain(bl, tipchars, pattern_weights,
@@ -132,29 +149,101 @@ def measure_engine() -> tuple[float, float, int]:
         t0 = time.perf_counter()
         jax.block_until_ready(chain(bl * 1.0000001, tipchars,
                                     pattern_weights, invariant))
-        dt = min(dt, (time.perf_counter() - t0) / REPS)
+        dt = min(dt, (time.perf_counter() - t0) / reps)
 
-    num_ops = TIPS - 2
-    updates_per_sec = num_ops * SITES / dt
-    return updates_per_sec, dt, num_ops, parity
+    num_ops = tips - 2
+    return {
+        "tips": tips, "sites": sites, "states": states,
+        "updates_per_sec": num_ops * sites / dt,
+        "full_tree_logl_ms": dt * 1e3,
+        "cold_compile_s": cold_s,
+        "kernel_parity_rel_err": parity,
+    }
+
+
+def measure_search_round() -> dict:
+    """Steady-state production SPR round (search_fast, radius 5) at
+    256 taxa x 4096 sites — the workload the reference exists to power."""
+    import jax
+    import jax.numpy as jnp
+
+    from libpll2_tpu import engine, search_fast
+    from libpll2_tpu import tree as T
+    from libpll2_tpu.config import PartitionConfig
+    from libpll2_tpu.models.gamma import compute_gamma_cats
+    from libpll2_tpu.tree.generate import random_newick, simulate_alignment
+
+    tips, sites, radius = 256, 4096, 5
+    rng = np.random.default_rng(20260820)
+    rates = compute_gamma_cats(0.9, RATE_CATS)
+    subst = [1.2, 2.7, 0.8, 1.1, 3.0, 1.0]
+    freqs = [0.28, 0.24, 0.22, 0.26]
+    tree = T.parse_newick_string(
+        random_newick(tips, rng, min_bl=0.02, max_bl=0.35))
+    chars = simulate_alignment(tree, sites, rng, subst, freqs, rates)
+    start = T.parse_newick_string(
+        random_newick(tips, rng, min_bl=0.05, max_bl=0.3))
+    lab = sorted(chars)
+    have = sorted(n.label for n in start.nodes[:tips])
+    ren = dict(zip(have, lab))
+    for n in start.nodes[:tips]:
+        n.label = ren[n.label]
+
+    cfg = PartitionConfig(
+        tips=tips, clv_buffers=start.inner_count, states=4, sites=sites,
+        rate_matrices=1, prob_matrices=2 * tips - 3, rate_cats=RATE_CATS,
+        scale_buffers=start.inner_count, dtype=jnp.float32)
+    model = engine.make_model([subst], [freqs], rates, dtype=jnp.float32)
+
+    t0 = time.time()
+    _tree, _logl, stats = search_fast.hill_climb(
+        start, cfg, model, chars, max_rounds=3, radius=radius,
+        smooth_every=0)
+    total = time.time() - t0
+    rs = stats["round_secs"]
+    steady = float(np.median(rs[1:])) if len(rs) > 1 else rs[0]
+    print(f"[search] rounds={stats['rounds']} moves={stats['moves']} "
+          f"first={rs[0]:.1f}s steady={steady:.2f}s total={total:.1f}s",
+          file=sys.stderr)
+    return {"tips": tips, "sites": sites, "radius": radius,
+            "first_round_s": rs[0], "steady_round_s": steady,
+            "moves": stats["moves"]}
 
 
 def main() -> None:
-    ours, latency, num_ops, parity = measure_engine()
+    primary = measure_case(TIPS, SITES, 4)
+    extra = {"dna_256": primary}
+    if FULL:
+        for tips, sites, states, key in ((64, SITES, 4, "dna_64"),
+                                         (1024, 16384, 4, "dna_1024"),
+                                         (128, 16384, 20, "protein_128")):
+            try:
+                extra[key] = measure_case(tips, sites, states)
+            except Exception as exc:  # noqa: BLE001
+                print(f"extra case {key} failed: {exc}", file=sys.stderr)
+                extra[key] = {"error": str(exc)[:200]}
+        try:
+            extra["search_round"] = measure_search_round()
+        except Exception as exc:  # noqa: BLE001
+            print(f"search bench failed: {exc}", file=sys.stderr)
+            extra["search_round"] = {"error": str(exc)[:200]}
     try:
         ref = measure_reference()
     except Exception as exc:  # noqa: BLE001
         print(f"reference bench failed: {exc}", file=sys.stderr)
         ref = float("nan")
+    ours = primary["updates_per_sec"]
     print(f"engine: {ours:.3e} site-updates/s "
-          f"(full-tree logL latency {latency * 1e3:.2f} ms, {num_ops} ops, "
-          f"{SITES} sites); reference AVX2: {ref:.3e}", file=sys.stderr)
+          f"(full-tree logL latency {primary['full_tree_logl_ms']:.2f} ms, "
+          f"{TIPS - 2} ops, {SITES} sites); reference AVX2: {ref:.3e}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "clv_site_updates_per_sec",
         "value": ours,
         "unit": "site-updates/s/chip",
         "vs_baseline": ours / ref if ref == ref else None,
-        "kernel_parity_rel_err": parity,
+        "kernel_parity_rel_err": primary["kernel_parity_rel_err"],
+        "extra": extra,
     }))
 
 

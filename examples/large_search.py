@@ -88,12 +88,10 @@ print(f"stepwise parsimony start: cost {pars_cost}  "
       f"({time.time()-t0:.1f}s)")
 
 # ---- ML hill-climb -------------------------------------------------------
-# Measured on TPU v5e (f32):
-#   256 taxa x 4096 sites, radius 5:  4.8 s/round steady-state
-#     (host CPU f64 runs the identical move sequence at ~243 s/round;
-#      final logL agrees to 3e-8 relative)
-#  1024 taxa x 2048 sites, radius 6: 27.9 s/round steady-state,
-#     9 rounds / 61 moves / ~12 min end-to-end incl. parsimony + compile
+# Measured on TPU v5e (f32), single-tenant chip (any concurrent process on
+# the one tunnel chip inflates every dispatch ~30-100x):
+#   256 taxa x 4096 sites, radius 5: ~1 s/round steady-state — one fused
+#     device program per round (base sweep + logl0 + all ball groups)
 dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
 cfg = PartitionConfig(
     tips=TIPS, clv_buffers=start.inner_count, states=4, sites=SITES,
@@ -113,6 +111,12 @@ steady = f", steady-state {np.median(rs[1:]):.1f}s/round" if len(rs) > 1 \
 print(f"hill-climb: {stats['rounds']} rounds, {stats['moves']} moves, "
       f"{wall:.1f}s total (first round incl. compile {rs[0]:.1f}s"
       f"{steady})")
+for i, tm in enumerate(stats["phase_timings"]):
+    ph = {k: round(v, 2) for k, v in tm.items()
+          if isinstance(v, float)}
+    print(f"  round {i}: {ph} shapes={tm.get('shapes')} "
+          f"lops={tm.get('lops')} cfg={tm.get('cfg_hash')} "
+          f"cache={tm.get('cache')}")
 print("logL trace:", " ".join(f"{x:.1f}" for x in trace))
 assert all(b >= a - 1e-3 for a, b in zip(trace, trace[1:])), "not monotone"
 assert np.isfinite(logl)

@@ -30,9 +30,8 @@ from .ops import derivatives as derivatives_ops
 from .ops import likelihood as likelihood_ops
 from .ops import partials as partials_ops
 from .ops import pmatrix as pmatrix_ops
-from .ops import partials_pallas
 from .ops import partials_pallas_tree
-from .partition import flatten_level_ops, levelize_operations
+from .partition import levelize_operations
 from .tree import create_operations, traverse
 from .tree.utree import UTree
 
@@ -45,7 +44,6 @@ class TreeProgram:
     an identical topology is compiled again — tree searches revisit
     topologies constantly and would otherwise recompile every visit."""
     level_ops: np.ndarray          # [L, W, 8] int32 (padded; XLA path)
-    flat_ops: np.ndarray           # [OPS, 8] int32 (unpadded; Pallas path)
     vmem_prog: Optional[partials_pallas_tree.TreeVmemProgram]
     pmatrix_indices: np.ndarray    # [E] int32: branch i -> pmatrix slot
     default_branch_lengths: np.ndarray  # [E] f64 (from the newick)
@@ -95,7 +93,6 @@ def compile_tree(tree: UTree, cfg: PartitionConfig) -> TreeProgram:
     trav = traverse(tree.vroot)
     ops, branches, pmat_idx = create_operations(trav)
     level_ops = levelize_operations(ops, cfg)
-    flat_ops = flatten_level_ops(ops, cfg)
     root = tree.vroot
     # rows the logL/derivative reductions consume; tips are re-expanded
     # from tipchars instead of exported
@@ -104,7 +101,6 @@ def compile_tree(tree: UTree, cfg: PartitionConfig) -> TreeProgram:
     vmem_prog = partials_pallas_tree.schedule(ops, cfg.tips, exports)
     return TreeProgram(
         level_ops=level_ops,
-        flat_ops=flat_ops,
         vmem_prog=vmem_prog,
         pmatrix_indices=np.asarray(pmat_idx, dtype=np.int32),
         default_branch_lengths=np.asarray(branches, dtype=np.float64),
@@ -233,22 +229,6 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
         return _TreeView(clv_rows, scal_rows, program.vmem_prog,
                          tipchars, cfg), pmatrix
 
-    if _use_pallas(cfg):
-        # build tips DIRECTLY in the kernel's site-blocked layout
-        # [N+1, NT, R, S, TB] (partials_pallas.py) — no transposes
-        tb = partials_pallas.pick_site_block(T)
-        nt = T // tb
-        tip_clv = expand_tipchars(tipchars, S, dtype)         # [tips, S, T]
-        tip_b = tip_clv.reshape(cfg.tips, S, nt, tb)
-        tip_b = jnp.transpose(tip_b, (0, 2, 1, 3))            # [tips,NT,S,TB]
-        clv_b = jnp.zeros((cfg.num_clvs + 1, nt, R, S, tb), dtype)
-        clv_b = clv_b.at[:cfg.tips].set(
-            jnp.broadcast_to(tip_b[:, :, None], (cfg.tips, nt, R, S, tb)))
-        scal_b = jnp.zeros((cfg.scale_buffers + 2, nt, 1, tb), jnp.int32)
-        clv_b, scal_b = partials_pallas.update_partials_blocked(
-            clv_b, scal_b, pmatrix, jnp.asarray(program.flat_ops), cfg)
-        return _BlockedView(clv_b, scal_b), pmatrix
-
     clv = jnp.zeros((cfg.num_clvs + 1, R, S, T), dtype)
     tip_clv = expand_tipchars(tipchars, S, dtype)             # [tips, S, T]
     clv = clv.at[:cfg.tips].set(
@@ -275,24 +255,6 @@ class _StandardView:
 
     def scaler_row(self, index: int):
         return self._scalers[index]                           # [T] / [R, T]
-
-
-class _BlockedView:
-    """Row accessors over site-blocked sweep results: transposes only the
-    rows the logL/derivative reductions touch (O(rows), not O(tree))."""
-
-    def __init__(self, clv_b, scal_b):
-        self._clv_b = clv_b                  # [N+1, NT, R, S, TB]
-        self._scal_b = scal_b                # [Z+2, NT, 1, TB]
-
-    def clv_row(self, index: int):
-        nt, R, S, tb = self._clv_b.shape[1:]
-        row = jnp.transpose(self._clv_b[index], (1, 2, 0, 3))
-        return row.reshape(R, S, nt * tb)
-
-    def scaler_row(self, index: int):
-        nt, _, tb = self._scal_b.shape[1:]
-        return self._scal_b[index].reshape(nt * tb)
 
 
 class _TreeView:
@@ -334,15 +296,6 @@ def _use_pallas_tree(cfg: PartitionConfig, choice) -> bool:
     if cfg.use_pallas is not None:
         return cfg.use_pallas and ok
     return ok and jax.default_backend() not in ("cpu",)
-
-
-def _use_pallas(cfg: PartitionConfig) -> bool:
-    """Pallas sweep on TPU backends when the config supports it; the XLA
-    einsum path everywhere else (CPU parity/f64, tiny site counts)."""
-    if cfg.use_pallas is not None:
-        return cfg.use_pallas and partials_pallas.supported(cfg)
-    return (partials_pallas.supported(cfg)
-            and jax.default_backend() not in ("cpu",))
 
 
 @functools.partial(jax.jit, static_argnames=("program", "cfg"))

@@ -1,8 +1,8 @@
 """VMEM-resident Pallas tree sweep — the fastest CLV path.
 
-The streaming kernel (partials_pallas.py) is HBM-bound: every operation
-moves (2 reads + 1 write) x R x S x T x 4B through HBM, because each CLV
-row round-trips to HBM between levels.  But the Felsenstein recursion
+A streaming sweep is HBM-bound: every operation moves (2 reads + 1
+write) x R x S x T x 4B through HBM, because each CLV row round-trips to
+HBM between levels (the XLA einsum path behaves this way).  But the Felsenstein recursion
 (reference libpll-2 src/core_partials.c:612-765) over ONE site block is a
 tree-structured expression whose live set, under Sethi–Ullman evaluation
 order, is O(depth) slabs — a few hundred KB.  So the whole traversal for a
@@ -126,7 +126,7 @@ def schedule(ops: Sequence, tips: int, export_clvs: Sequence[int]
     ops: partition.Operation list (any topological order).  Returns None
     when the list is not a forest (a CLV written twice, or a child that is
     neither a tip nor produced here — e.g. partial traversals), in which
-    case callers fall back to a streaming path.
+    case callers fall back to the XLA einsum path.
     """
     producer = {}
     for i, op in enumerate(ops):

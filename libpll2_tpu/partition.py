@@ -210,26 +210,6 @@ def levelize_operations_repeats(ops: Sequence[Operation],
     return out, gathers
 
 
-def flatten_level_ops(ops: Sequence[Operation], cfg: PartitionConfig
-                      ) -> np.ndarray:
-    """Level-ordered, UNPADDED [OPS, 8] int32 op tensor for the Pallas
-    sweep (ops/partials_pallas.py).  Same level assignment as
-    levelize_operations, but concatenated without no-op padding rows."""
-    level_of: dict[int, int] = {}
-    levels: list[list[Operation]] = []
-    for op in ops:
-        lvl = max(level_of.get(op.child1_clv_index, 0),
-                  level_of.get(op.child2_clv_index, 0))
-        level_of[op.parent_clv_index] = lvl + 1
-        while len(levels) <= lvl:
-            levels.append([])
-        levels[lvl].append(op)
-    rows = [_encode_op(op, cfg) for lops in levels for op in lops]
-    if not rows:
-        return np.zeros((0, partials_ops.OP_COLS), dtype=np.int32)
-    return np.stack(rows)
-
-
 def _encode_op(op: Operation, cfg: PartitionConfig) -> np.ndarray:
     def scaler_read(idx):
         return cfg.scaler_zero if idx == SCALE_BUFFER_NONE else idx

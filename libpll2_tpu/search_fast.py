@@ -510,6 +510,10 @@ def _spr_all_scores(cfg: PartitionConfig, model, level_ops, edge_rows,
                 newton = t - d1 / d2
                 fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
                 t_new = jnp.where(d2 > 0, newton, fallback)
+                # f32 pathologies on terrible topologies can make (d1, d2)
+                # overflow to inf/nan; a nan step would poison the branch
+                # and every score downstream — hold the current value
+                t_new = jnp.where(jnp.isfinite(t_new), t_new, t)
                 return jnp.clip(t_new, 1e-8, 100.0)
 
             t3 = jax.lax.fori_loop(0, newton_iters, newton_step, t3_0)
@@ -544,15 +548,12 @@ def _spr_base(cfg: PartitionConfig, model, level_ops, pmat_slots,
 _spr_base_jit = jax.jit(_spr_base, static_argnames=("cfg",))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ball_slots",
-                                              "newton_iters", "cand_batch",
-                                              "score_batch"))
-def _spr_ball_scores(cfg: PartitionConfig, model, base_clv, base_scal,
-                     pmatrix, halves, branch_lengths, pattern_weights,
-                     invariant, ball_levels, score_ops, sub_rows, edge_pos,
-                     merge_edges, ball_slots: int,
-                     newton_iters: int = 5, cand_batch: int = 32,
-                     score_batch: int = 104):
+def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
+                 pmatrix, halves, branch_lengths, pattern_weights,
+                 invariant, ball_levels, score_ops, sub_rows, edge_pos,
+                 merge_edges, ball_slots: int,
+                 newton_iters: int = 5, cand_batch: int = 16,
+                 score_batch: int = 104):
     """Radius-limited exact SPR scores of ONE ball-size group:
     ([Cg, Vg] scores, [Cg, Vg] t3).
 
@@ -644,6 +645,10 @@ def _spr_ball_scores(cfg: PartitionConfig, model, base_clv, base_scal,
                 newton = t - d1 / d2
                 fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
                 t_new = jnp.where(d2 > 0, newton, fallback)
+                # f32 pathologies on terrible topologies can make (d1, d2)
+                # overflow to inf/nan; a nan step would poison the branch
+                # and every score downstream — hold the current value
+                t_new = jnp.where(jnp.isfinite(t_new), t_new, t)
                 return jnp.clip(t_new, 1e-8, 100.0)
 
             t3 = jax.lax.fori_loop(0, newton_iters, newton_step, t3_0)
@@ -659,6 +664,50 @@ def _spr_ball_scores(cfg: PartitionConfig, model, base_clv, base_scal,
 
     return jax.lax.map(per_cand, jnp.arange(score_ops.shape[0]),
                        batch_size=cand_batch)
+
+
+# standalone jitted form (tests / kernel experiments); spr_round uses the
+# fused _spr_round_device below instead
+_spr_ball_scores = jax.jit(
+    _score_group,
+    static_argnames=("cfg", "ball_slots", "newton_iters",
+                     "cand_batch", "score_batch"))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ball_slots",
+                                              "newton_iters"))
+def _spr_round_device(cfg: PartitionConfig, model, level_ops, pmat_slots,
+                      branch_lengths, tipchars, pattern_weights, invariant,
+                      root_rows, root_slot, group_args, ball_slots: int,
+                      newton_iters: int = 3):
+    """One fused device program per SPR round: the base message sweep,
+    the root-edge logL, and EVERY ball-size group's recursion + scoring —
+    a single dispatch, a single executable, one sweep shared by all
+    consumers (separate per-group dispatches pay tunnel/program-switch
+    overhead and a second sweep for logl0)."""
+    base_clv, base_scal, pmatrix, halves = _spr_base(
+        cfg, model, level_ops, pmat_slots, branch_lengths, tipchars)
+    logl0 = likelihood_ops.edge_loglikelihood(
+        base_clv[root_rows[0]], base_scal[root_rows[1]],
+        base_clv[root_rows[2]], base_scal[root_rows[3]],
+        pmatrix[root_slot], model.cat_freqs, model.rate_weights,
+        model.cat_pinv, invariant, pattern_weights, cfg)
+    # chain the groups through an optimization barrier: without it XLA
+    # schedules all groups' GB-scale scratch concurrently, and the summed
+    # transients crash the TPU worker (observed on v5e at 256 x 4096);
+    # the barrier serializes them at bit-identical values
+    outs = []
+    dep = logl0
+    for (lvls, sops, srows, epos, medges) in group_args:
+        bl_g, _ = jax.lax.optimization_barrier((branch_lengths, dep))
+        s, t3 = _score_group(cfg, model, base_clv, base_scal, pmatrix,
+                             halves, bl_g, pattern_weights, invariant,
+                             lvls, sops, srows, epos, medges,
+                             ball_slots=ball_slots,
+                             newton_iters=newton_iters)
+        dep = s
+        outs.append((s, t3))
+    return logl0, tuple(outs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -711,6 +760,10 @@ def _smooth_rt(cfg: PartitionConfig, model, level_ops, edge_rows,
                 newton = t - d1 / d2
                 fallback = jnp.where(d1 > 0, t * 0.5, t * 2.0)
                 t_new = jnp.where(d2 > 0, newton, fallback)
+                # f32 pathologies on terrible topologies can make (d1, d2)
+                # overflow to inf/nan; a nan step would poison the branch
+                # and every score downstream — hold the current value
+                t_new = jnp.where(jnp.isfinite(t_new), t_new, t)
                 return jnp.clip(t_new, 1e-8, 100.0)
 
             return jax.lax.fori_loop(0, newton_iters, newton_step, t0)
@@ -761,7 +814,7 @@ def _half_nodes(tree: UTree):
 
 def spr_round(prog: SprProgram, model,
               tipchars_by_label: Dict[str, np.ndarray],
-              *, newton_iters: int = 5, max_moves: Optional[int] = None,
+              *, newton_iters: int = 3, max_moves: Optional[int] = None,
               eps: float = 1e-6, pattern_weights=None, invariant=None,
               timings: Optional[dict] = None
               ) -> Tuple[SprProgram, float, int]:
@@ -795,32 +848,32 @@ def spr_round(prog: SprProgram, model,
     erow = jnp.asarray(prog.edge_rows)
     pslots = jnp.asarray(prog.pmatrix_slots)
 
-    logl0 = float(_logl_rt(cfg, model, lops, pslots, bl, tipchars, pw_d,
-                           inv_d, erow[prog.root_edge],
-                           pslots[prog.root_edge]))
-
+    _t = _mark("setup", _t)
     if prog.radius is not None:
-        base = _spr_base_jit(cfg, model, lops, pslots, bl, tipchars)
+        group_args = tuple(
+            (tuple(jnp.asarray(a) for a in g.ball_levels),
+             jnp.asarray(g.score_ops), jnp.asarray(g.sub_rows),
+             jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges))
+            for g in prog.ball_groups)
+        logl0_d, outs = _spr_round_device(
+            cfg, model, lops, pslots, bl, tipchars, pw_d, inv_d,
+            erow[prog.root_edge], pslots[prog.root_edge], group_args,
+            ball_slots=prog.ball_slots, newton_iters=newton_iters)
+        logl0 = float(logl0_d)
         flat_scores, flat_t3, flat_cand, flat_edge = [], [], [], []
-        for g in prog.ball_groups:
-            s, t3 = _spr_ball_scores(
-                cfg, model, *base, bl, pw_d, inv_d,
-                tuple(jnp.asarray(a) for a in g.ball_levels),
-                jnp.asarray(g.score_ops), jnp.asarray(g.sub_rows),
-                jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges),
-                ball_slots=prog.ball_slots, newton_iters=newton_iters)
+        for g, (s, t3) in zip(prog.ball_groups, outs):
             s, t3 = np.asarray(s), np.asarray(t3)
             vmask = g.score_ops[..., BOP_VALID] == 1
             nv = int(vmask.sum())
             # canary for the XLA:TPU batched-gather miscompile (see
-            # _spr_ball_scores): a corrupted recursion scores EVERY valid
+            # _score_group): a corrupted recursion scores EVERY valid
             # slot -inf — never a legitimate outcome at this scale
             if nv > 16 and np.all(np.isneginf(s[vmask])):
                 raise RuntimeError(
                     "SPR ball scorer returned -inf for every valid slot — "
                     "suspected XLA:TPU batched-gather miscompile at this "
                     "(cand_batch, sites) shape; change cand_batch in "
-                    "_spr_ball_scores")
+                    "_score_group")
             rows, cols = np.nonzero(vmask)
             flat_scores.append(s[rows, cols])
             flat_t3.append(t3[rows, cols])
@@ -833,6 +886,9 @@ def spr_round(prog: SprProgram, model,
         C = len(prog.cand_affected)
         _t = _mark("score", _t)
     else:
+        logl0 = float(_logl_rt(cfg, model, lops, pslots, bl, tipchars,
+                               pw_d, inv_d, erow[prog.root_edge],
+                               pslots[prog.root_edge]))
         scores2, t3s2 = _spr_all_scores(
             cfg, model, lops, erow, pslots, bl, tipchars, pw_d, inv_d,
             jnp.asarray(prog.cand_edge), jnp.asarray(prog.cand_sub_rows),
@@ -953,7 +1009,7 @@ def smooth_branches(prog: SprProgram, model,
 
 def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                tipchars_by_label: Dict[str, np.ndarray],
-               *, max_rounds: int = 30, newton_iters: int = 5,
+               *, max_rounds: int = 30, newton_iters: int = 3,
                smooth_every: int = 2, smooth_rounds: int = 2,
                eps: float = 1e-6,
                radius: Optional[int] = None,
@@ -1013,7 +1069,12 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     for r in range(max_rounds):
         t0 = time.perf_counter()
         tm: dict = {"shapes": tuple(g.shape_key for g in prog.ball_groups)
-                    if prog.ball_groups is not None else None}
+                    if prog.ball_groups is not None else None,
+                    "lops": prog.level_ops.shape,
+                    "cfg_hash": hash(prog.cfg_ext) & 0xffff,
+                    "cache": (_spr_round_device._cache_size(),
+                              _smooth_rt._cache_size(),
+                              _logl_rt._cache_size())}
         prog, logl, applied = spr_round(
             prog, model, tipchars_by_label, newton_iters=newton_iters,
             eps=eps, timings=tm)

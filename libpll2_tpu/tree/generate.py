@@ -46,10 +46,10 @@ def random_sequences(n_tips: int, sites: int, rng: np.random.Generator
             for _ in range(n_tips)]
 
 
-def random_tipchars(n_tips: int, sites: int, rng: np.random.Generator
-                    ) -> np.ndarray:
-    """Encoded DNA tip states (bitmask codes 1,2,4,8) [n_tips, sites]."""
-    return (np.uint64(1) << rng.integers(0, 4, (n_tips, sites),
+def random_tipchars(n_tips: int, sites: int, rng: np.random.Generator,
+                    states: int = 4) -> np.ndarray:
+    """Encoded tip states (one-hot bitmask codes) [n_tips, sites]."""
+    return (np.uint64(1) << rng.integers(0, states, (n_tips, sites),
                                          dtype=np.uint64))
 
 

@@ -210,7 +210,7 @@ def test_radius_scores_match_exhaustive():
 def test_radius_hill_climb_monotone_and_caches():
     start, cfg, model, chars = _setup(n_tips=9, sites=160, seed=29,
                                       scramble_seed=77)
-    compiles0 = search_fast._spr_ball_scores._cache_size()
+    compiles0 = search_fast._spr_round_device._cache_size()
     tree, logl, stats = search_fast.hill_climb(
         start, cfg, model, chars, max_rounds=8, radius=3)
     trace = stats["logl_trace"]
@@ -218,7 +218,7 @@ def test_radius_hill_climb_monotone_and_caches():
         assert b >= a - 1e-9, trace
     assert stats["moves"] >= 1
     # fixed shapes: every round of every topology hits the jit cache
-    assert (search_fast._spr_ball_scores._cache_size() - compiles0) == 1
+    assert (search_fast._spr_round_device._cache_size() - compiles0) == 1
     # the returned logl is the exact likelihood of the returned tree
     want = _exact_logl(tree, cfg, model, chars)
     assert abs(logl - want) < 1e-6
