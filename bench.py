@@ -56,18 +56,25 @@ def measure_reference() -> float:
     raise RuntimeError(f"bench_ref output unparseable: {out.stdout}")
 
 
+def _enable_cache():
+    """Persistent compilation cache: round-3's Pallas cache-miss hang is
+    no longer reproducible (tools/cacheprobe.py), and the real static
+    kernel loads warm in ~2 s vs a ~45 s cold compile."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def measure_case(tips: int, sites: int, states: int = 4,
                  reps: int = REPS) -> dict:
-    """Throughput + latency + on-chip kernel parity for one engine case.
-
-    NOTE: the persistent compilation cache is deliberately NOT enabled:
-    through the axon tunnel a cache-MISS compile of a program containing
-    Pallas custom calls hangs indefinitely (tools/cacheprobe.py).
-    """
+    """Throughput + latency + on-chip kernel parity for one engine case."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
+
+    _enable_cache()
 
     from libpll2_tpu import engine
     from libpll2_tpu import tree as T
@@ -211,6 +218,13 @@ def measure_search_round() -> dict:
 
 
 def main() -> None:
+    if os.environ.get("BENCH_WARM_PROBE") == "1":
+        # subprocess mode: report the warm-start compile of the primary
+        # case through the persistent cache (populated by the parent)
+        r = measure_case(TIPS, SITES, 4, reps=4)
+        print(json.dumps({"warm_compile_s": r["cold_compile_s"]}))
+        return
+
     primary = measure_case(TIPS, SITES, 4)
     extra = {"dna_256": primary}
     if FULL:
@@ -227,6 +241,19 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"search bench failed: {exc}", file=sys.stderr)
             extra["search_round"] = {"error": str(exc)[:200]}
+    if FULL:
+        # warm-start probe: a FRESH process compiling the primary case
+        # against the now-populated persistent cache
+        try:
+            env = dict(os.environ, BENCH_WARM_PROBE="1")
+            out = subprocess.run([sys.executable, __file__],
+                                 capture_output=True, text=True,
+                                 timeout=900, env=env)
+            extra["warm_start"] = json.loads(out.stdout.strip()
+                                             .splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001
+            print(f"warm probe failed: {exc}", file=sys.stderr)
+            extra["warm_start"] = {"error": str(exc)[:200]}
     try:
         ref = measure_reference()
     except Exception as exc:  # noqa: BLE001

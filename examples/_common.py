@@ -12,12 +12,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 
-if os.environ.get("EXAMPLES_TPU") != "1":
-    # Persistent compilation cache (CPU only: cache-miss compiles of
-    # Pallas-bearing programs hang through the axon tunnel — bench.py)
-    jax.config.update("jax_compilation_cache_dir",
-                      str(pathlib.Path(__file__).resolve().parent.parent
-                          / ".jax_cache"))
+# Persistent compilation cache — also on TPU: the round-3 Pallas
+# cache-miss hang through the axon tunnel is no longer reproducible
+# (tools/cacheprobe.py), and warm starts load the static kernel in ~2 s
+# instead of a ~45 s cold compile.
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).resolve().parent.parent
+                      / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 if os.environ.get("EXAMPLES_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")

@@ -217,10 +217,7 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
         nt = cfg.sites_padded // tb
         tip_b = jnp.transpose(
             tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
-        if mode == "static2":
-            clv_rows, scal_rows = partials_pallas_tree.sweep_static2(
-                tip_b, pmatrix, program.vmem_prog, cfg, tb)
-        elif mode == "static":
+        if mode == "static":
             clv_rows, scal_rows = partials_pallas_tree.sweep_static(
                 tip_b, pmatrix, program.vmem_prog, cfg, tb)
         else:

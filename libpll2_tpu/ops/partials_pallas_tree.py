@@ -301,8 +301,6 @@ def vmem_bytes(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
     span = cfg.rate_cats * cfg.states
     spool = prog.pool_size * tb * 4
     tipblk = 2 * cfg.tips * tb * 4                      # double-buffered
-    if mode == "static2":
-        return vmem_bytes_static2(prog, cfg, tb, num_pmatrices)
     if mode == "static":
         return vmem_bytes_static(prog, cfg, tb, num_pmatrices)
     if mode == "splitk":
@@ -354,10 +352,10 @@ def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
     # count (v5e: DNA 8.4e9, S=20 protein 1.2e9 upd/s — contraction depths
     # beyond 128 chunk fine on the MXU), and the only kernel family with
     # per-rate-scaler support.  Bounded op count keeps the unrolled Mosaic
-    # program to a sane compile time.  The c-major "static2" variant stays
-    # available explicitly (half the pool VMEM, ~2x faster compile) but is
-    # NOT auto-chosen: its on-chip execution is currently pathological
-    # (~1000x slow; ROADMAP) despite exact parity.
+    # program to a sane compile time.  (A c-major "static2" variant was
+    # retired in round 4: exact but pathologically slow on-chip, and
+    # tools/static2probe.py showed its prefix-matmul construct is fine in
+    # isolation — the mode carried no perf role.)
     if prog.n_ops <= STATIC_MAX_OPS:
         # site block capped: Mosaic compile memory/time scales with
         # n_ops x tb for the unrolled program (16k blocks OOM the
@@ -948,248 +946,6 @@ def sweep_static(tip_blocked, pmatrix, prog: TreeVmemProgram,
         interpret=interpret,
     )(*_split_pmatrix_terms_static(pmatrix, parts), tip_blocked)
     return clv_rows.reshape(n_exp, nt, R, S, tb), scal_rows
-
-
-# --------------------------------------------------------------------------
-# Topology-specialized kernel, v2: c-major split storage ("static2")
-# --------------------------------------------------------------------------
-#
-# Profiling the v1 static kernel on TPU v5e shows it is bound by VPU
-# *elements touched* per op (~310 per site at parts=3: rescue ~50, the
-# 3-way split ~80, the 6-block stacked store ~100, tip expansion ~60,
-# multiply 16) — the MXU passes overlap underneath.  v2 cuts the two
-# biggest VPU terms without changing the math:
-#
-#   * c-major storage: the slot pool holds [parts*span, TB] (= [c0;c1;c2]),
-#     HALF the rows of the v1 term-stacked layout.  The 6-term split
-#     product regroups by total order s = i+j:
-#         Σ_{i+j<=2} P_i c_j = Σ_s [P_s P_{s-1} .. P_0] @ [c_0;..;c_s]
-#     i.e. `parts` matmuls per child whose CLV operands are PREFIXES of
-#     the c-major slab (no gathers) and whose P operands are static
-#     column groups of a precomputed [span, span*parts(parts+1)/2]
-#     triangular layout.  Same bf16 term products, same f32 accumulation
-#     quality; stores drop from n_terms*span to parts*span rows.
-#   * Q-compressed tips: P is rate-block-diagonal, and a tip CLV repeats
-#     its state bits across rate blocks, so P @ tip = Q @ bits with
-#     Q[i, s] = P[i, r_i*S + s] — the [span, S] rate-diagonal slice.  A
-#     tip child becomes ONE matmul with K = parts*S (12 for DNA) against
-#     the raw [S, TB] bit expansion stacked `parts` times — no span-wide
-#     tip materialization at all.
-#
-# MXU cost rises (2*parts passes per inner child instead of 2) but stays
-# under the VPU roofline; measured on-chip both modes are compared by
-# tools/kbench.py.  Reference semantics unchanged (core_partials.c:
-# 612-765 recursion, pll.h:96-104 rescue protocol).
-
-
-def _pmatrix_cmajor(pmatrix, parts: int):
-    """[P, R, S, S] f32 -> (pcm [P, span, span*parts(parts+1)/2] bf16,
-                            ptq [P, span, parts*S] bf16).
-
-    pcm column group s (s = 0..parts-1) holds [P_s, P_{s-1}, ..., P_0];
-    ptq block j holds the rate-diagonal [span, S] slice of split part j."""
-    P, R, S, _ = pmatrix.shape
-    span = R * S
-    bd = _block_diag_pmatrix(pmatrix.astype(jnp.float32), jnp.float32)
-    p_parts = _bf16_splits(bd, parts)
-    blocks = []
-    for s in range(parts):
-        for i in range(s, -1, -1):
-            blocks.append(p_parts[i])
-    pcm = jnp.concatenate(blocks, axis=2)
-    qs = []
-    eye = jnp.eye(R, dtype=jnp.bfloat16)
-    for j in range(parts):
-        pj = p_parts[j].reshape(P, R, S, R, S)
-        q = jnp.einsum("prsqt,rq->prst", pj, eye,
-                       precision=HIGHEST)            # exact: picks r == q
-        qs.append(q.reshape(P, span, S))
-    kq = -(-(parts * S) // 16) * 16                  # bf16 tile padding
-    pad = jnp.zeros((P, span, kq - parts * S), jnp.bfloat16)
-    return pcm, jnp.concatenate(qs + [pad], axis=2)
-
-
-def _tree_kernel_static2(pcm_ref,               # [P, span, CM] bf16 VMEM
-                         ptq_ref,               # [P, span, parts*S] bf16
-                         tip_ref,               # [1, tips, TB] VMEM
-                         clv_out, scal_out,     # HBM outputs (manual DMA)
-                         pool, spool, exp_buf, exp_sems,
-                         *, rows: tuple, states: int, rates: int,
-                         parts: int, per_rate: bool,
-                         thresh: float, factor: float, exports: tuple):
-    """One unrolled c-major pass over all ops for one site block.
-
-    pool: [slots, parts*span, TB] bf16 — c-major split slabs.
-    spool: [slots, SR, TB] int32, SR = rates if per_rate else 1.
-    exp_buf: [n_exp, span, TB] f32."""
-    t = pl.program_id(0)
-    tb = tip_ref.shape[-1]
-    span = rates * states
-    export_at = {op_idx: (e, slot)
-                 for e, (op_idx, slot) in enumerate(exports)}
-    started = []
-    offs = [span * (s * (s + 1) // 2) for s in range(parts + 1)]
-    dn = (((1,), (0,)), ((), ()))
-    kq = ptq_ref.shape[-1]
-    tip_shifts = _tip_shift_rows(states, parts, kq, tb)
-
-    def side(tip_idx, slot, is_tip, pm):
-        if is_tip:
-            tiprow = tip_ref[0, tip_idx]                  # [TB] int32
-            operand = ((tiprow[None, :] >> tip_shifts) & 1
-                       ).astype(jnp.bfloat16)             # [kq, TB]
-            acc = jax.lax.dot_general(ptq_ref[pm], operand, dn,
-                                      preferred_element_type=jnp.float32)
-            return acc, None
-        slab = pool[slot]                                 # [parts*span, TB]
-        acc = None
-        for s in range(parts):
-            pcols = pcm_ref[pm][:, offs[s]:offs[s + 1]]
-            d = jax.lax.dot_general(pcols, slab[:span * (s + 1)], dn,
-                                    preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
-        return acc, spool[slot]
-
-    for w, row in enumerate(rows):
-        (p_slot, c1_tip, c1_slot, c1_is_tip,
-         c2_tip, c2_slot, c2_is_tip, pm1, pm2) = row
-        left, s1 = side(c1_tip, c1_slot, c1_is_tip, pm1)
-        right, s2 = side(c2_tip, c2_slot, c2_is_tip, pm2)
-        parent = left * right                             # [span, TB] f32
-        if per_rate:
-            pr = parent.reshape(rates, states, tb)
-            mask = jnp.max(pr, axis=1, keepdims=True) < thresh  # [R, 1, TB]
-            parent = jnp.where(mask, pr * factor, pr).reshape(span, tb)
-            snew = mask[:, 0].astype(jnp.int32)           # [R, TB]
-        else:
-            mask = jnp.max(parent, axis=0, keepdims=True) < thresh
-            parent = jnp.where(mask, parent * factor, parent)
-            snew = mask.astype(jnp.int32)                 # [1, TB]
-        if s1 is not None:
-            snew = snew + s1
-        if s2 is not None:
-            snew = snew + s2
-
-        rem = parent
-        split = []
-        for j in range(parts):
-            pj = rem.astype(jnp.bfloat16)
-            split.append(pj)
-            if j + 1 < parts:
-                rem = rem - pj.astype(jnp.float32)
-        pool[p_slot] = jnp.concatenate(split, axis=0)     # [parts*span, TB]
-        spool[p_slot] = snew
-
-        if w in export_at:
-            e, slot = export_at[w]
-            e32 = jnp.int32(e)
-            exp_buf[e32] = parent
-            copies = (
-                pltpu.make_async_copy(exp_buf.at[e32], clv_out.at[e32, t],
-                                      exp_sems.at[e32, jnp.int32(0)]),
-                pltpu.make_async_copy(spool.at[jnp.int32(slot)],
-                                      scal_out.at[e32, t],
-                                      exp_sems.at[e32, jnp.int32(1)]),
-            )
-            for c in copies:
-                c.start()
-            started.append(copies)
-
-    for copies in started:
-        for c in copies:
-            c.wait()
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("prog", "cfg", "tb", "interpret"))
-def sweep_static2(tip_blocked, pmatrix, prog: TreeVmemProgram,
-                  cfg: PartitionConfig, tb: int, interpret: bool = False):
-    """c-major topology-specialized VMEM sweep (see block comment above).
-
-    Same contract as sweep_static(): returns (clv_rows [E, NT, R, S, TB]
-    f32, scaler_rows [E, NT, SR, TB] int32)."""
-    nt, tips, tb_in = tip_blocked.shape
-    assert tb_in == tb and nt * tb == cfg.sites_padded
-    R, S = cfg.rate_cats, cfg.states
-    span = R * S
-    n_exp = len(prog.exports)
-    parts = _parts_for(cfg)
-    sr = R if cfg.per_rate_scalers else 1
-    P = pmatrix.shape[0]
-    cm = span * (parts * (parts + 1) // 2)
-
-    kernel = functools.partial(
-        _tree_kernel_static2,
-        rows=tuple(tuple(int(v) for v in r) for r in prog.ops),
-        states=S, rates=R, parts=parts,
-        per_rate=cfg.per_rate_scalers,
-        thresh=cfg.scale_threshold, factor=cfg.scale_factor,
-        exports=prog.exports)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((P, span, cm),
-                         lambda t: (jnp.int32(0),) * 3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, span, -(-(parts * S) // 16) * 16),
-                         lambda t: (jnp.int32(0),) * 3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tips, tb),
-                         lambda t: (t, jnp.int32(0), jnp.int32(0)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((prog.pool_size, parts * span, tb), jnp.bfloat16),
-            pltpu.VMEM((prog.pool_size, sr, tb), jnp.int32),
-            pltpu.VMEM((max(n_exp, 1), span, tb), jnp.float32),
-            pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
-        ],
-    )
-
-    pcm, ptq = _pmatrix_cmajor(pmatrix, parts)
-    clv_rows, scal_rows = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_exp, nt, span, tb), jnp.float32),
-            jax.ShapeDtypeStruct((n_exp, nt, sr, tb), jnp.int32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            # site blocks are fully independent
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=prog.n_ops * nt * R * S * tb * (4 * S + 1),
-            bytes_accessed=tips * nt * tb * 4
-            + n_exp * nt * R * S * tb * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(pcm, ptq, tip_blocked)
-    return clv_rows.reshape(n_exp, nt, R, S, tb), scal_rows
-
-
-def vmem_bytes_static2(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
-                       num_pmatrices: int) -> int:
-    span = cfg.rate_cats * cfg.states
-    parts = _parts_for(cfg)
-    cm = span * (parts * (parts + 1) // 2)
-    sr = cfg.rate_cats if cfg.per_rate_scalers else 1
-    pool = prog.pool_size * parts * span * tb * 2
-    spool = prog.pool_size * sr * tb * 4
-    tipblk = 2 * cfg.tips * tb * 4
-    kq = -(-(parts * cfg.states) // 16) * 16       # ptq tile padding
-    pmat = num_pmatrices * span * (cm + kq) * 2
-    expbuf = max(len(prog.exports), 1) * span * tb * 4
-    work = 4 * parts * span * tb * 4
-    return pool + spool + tipblk + pmat + expbuf + work + (1 << 20)
 
 
 def vmem_bytes_static(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,

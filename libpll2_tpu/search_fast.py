@@ -195,14 +195,37 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                                for g in edge_half], np.int32)
     edge_node = np.array([g.node_index for g in edge_half], np.int32)
 
-    # neighbors across each inner node's three edges (for conflict sets)
-    def node_clvs_behind(h):
-        """clv indices of every node in the subtree behind h (away from
-        h.back)."""
-        return frozenset(x.clv_index for x in traverse_subtree(h))
+    # behind-set DP: ONE bool mask per half-edge instead of O(n^2)
+    # python subtree traversals (0.4 s/round at 256 taxa, and rebuilt
+    # every round) — S(h) = {clv(h)} | S(h.next.back) | S(h.next2.back)
+    nrows = int(max(edge_endpoints.max(), n - 1)) + 1
+    behind: Dict[int, np.ndarray] = {}
 
-    def tip_clvs_behind(h):
-        return [x.clv_index for x in traverse_subtree(h) if x.next is None]
+    def behind_of(h0):
+        out = behind.get(h0.node_index)
+        if out is not None:
+            return out
+        stack = [(h0, False)]
+        while stack:
+            h, ready = stack.pop()
+            if h.node_index in behind:
+                continue
+            if h.next is None:
+                r = np.zeros(nrows, bool)
+                r[h.clv_index] = True
+                behind[h.node_index] = r
+                continue
+            kids = (h.next.back, h.next.next.back)
+            if not ready:
+                stack.append((h, True))
+                stack.extend((k, False) for k in kids
+                             if k.node_index not in behind)
+            else:
+                r = behind[kids[0].node_index] \
+                    | behind[kids[1].node_index]
+                r[h.clv_index] = True
+                behind[h.node_index] = r
+        return behind[h0.node_index]
 
     cands = []
     for i, g in enumerate(edge_half):
@@ -211,25 +234,23 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
             # p is the remainder-side endpoint and must be inner
             if p.next is None:
                 continue
-            sub_tips = tip_clvs_behind(sub_h)
-            k = len(sub_tips)
+            bh = behind_of(sub_h)
+            k = int(bh[:n].sum())
             valid = (n - k) >= 4
             sub_rows = full.edge_rows[i, 0:2] if side == 0 \
                 else full.edge_rows[i, 2:4]
-            sub_clvs = node_clvs_behind(sub_h)
-            gap = np.zeros(n, bool)
-            gap[sub_tips] = True
+            gap = bh[:n].copy()
             # regraft targets: edges fully inside the remainder and not
             # incident to p's node (those reconstruct the same topology)
             if valid:
-                ev = ~(np.isin(edge_endpoints[:, 0], list(sub_clvs))
-                       | np.isin(edge_endpoints[:, 1], list(sub_clvs))
+                ev = ~(bh[edge_endpoints[:, 0]]
+                       | bh[edge_endpoints[:, 1]]
                        | (edge_endpoints[:, 0] == p.clv_index)
                        | (edge_endpoints[:, 1] == p.clv_index))
             else:
                 ev = np.zeros(E, bool)
             # conflict set: pruned nodes + p's node + p's other neighbors
-            affected = set(sub_clvs)
+            affected = set(np.nonzero(bh)[0].tolist())
             affected.add(p.clv_index)
             for h in p.roundabout():
                 affected.add(h.back.clv_index)
@@ -321,18 +342,42 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                         frontier.append((gg, d + 1))
             return levels, n_slots
 
+        def renumber_slots(levels):
+            """Remap scratch slots to FLAT level-major positions, so the
+            away message of score row v lives in scratch slot v — the
+            Pallas edge scorer then reads away operands as consecutive
+            blocks with no dynamic index maps."""
+            mapping = {}
+            pos = 0
+            for lv in levels:
+                for row in lv:
+                    mapping[row[BOP_PARENT]] = pos
+                    pos += 1
+            for lv in levels:
+                for row in lv:
+                    row[BOP_PARENT] = mapping[row[BOP_PARENT]]
+                    if row[BOP_C1_SEED] == 0:
+                        row[BOP_C1_ROW] = mapping[row[BOP_C1_ROW]]
+                        row[BOP_C1_SCAL] = mapping[row[BOP_C1_SCAL]]
+
         balls = []
         ball_slots = 1 if min_ball_slots is None else int(min_ball_slots)
         for i, g in enumerate(edge_half):
             for sub_h, p in ((g, g.back), (g.back, g)):
                 if p.next is None:
                     continue
-                k = len(tip_clvs_behind(sub_h))
+                k = int(behind_of(sub_h)[:n].sum())
                 levels, n_slots = build_ball(p, (n - k) >= 4)
+                renumber_slots(levels)
                 ball_slots = max(ball_slots, n_slots + 1)
                 balls.append(levels)
         assert len(balls) == C
 
+        # the kernel path reads away slabs as scratch[:, :Vg]: make sure
+        # the scratch pool covers the widest padded score table
+        v_bound = max((sum(len(lv) for lv in levels) for levels in balls),
+                      default=0)
+        ball_slots = max(ball_slots, -(-max(v_bound, 1) // 16) * 16 + 1)
         dump = ball_slots - 1
         noop = np.asarray(
             [dump, 0, zero_row, 1, 0, 0, zero_row, 0, 0, zero_row, 0, 0],
@@ -364,29 +409,39 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
         for gi, sz in enumerate(sizes):
             ids = np.sort(order[off:off + sz])
             off += sz
+            # pad each group to a multiple of the kernel path's candidate
+            # chunk (padding rows are all-noop / valid=0, masked out at
+            # flatten time)
+            sz0 = sz
+            szp = -(-sz // 16) * 16
+            ids = np.concatenate([ids, np.full(szp - sz, ids[0],
+                                               ids.dtype)])
+            sz = szp
             pin = (min_group_shapes[gi]
                    if min_group_shapes is not None
                    and len(min_group_shapes) == len(sizes)
                    and len(min_group_shapes[gi][0]) == radius else None)
             w_ds = [max((len(balls[c][d]) for c in ids), default=0)
                     for d in range(radius)]
-            w_ds = [-(-max(w, 1) // 8) * 8 for w in w_ds]
+            # bucket 16: width growth across rounds forces a ~12 s
+            # recompile of the fused round program, so over-pad a little
+            w_ds = [-(-max(w, 1) // 16) * 16 for w in w_ds]
             if pin is not None:
                 w_ds = [max(w, int(m)) for w, m in zip(w_ds, pin[0])]
             lvls = []
             for d, wd in enumerate(w_ds):
                 arr = np.tile(noop, (sz, wd, 1))
-                for k, c in enumerate(ids):
+                for k, c in enumerate(ids[:sz0]):
                     lv = balls[c][d]
                     if lv:
                         arr[k, :len(lv)] = np.asarray(lv, np.int32)
                 lvls.append(arr)
             vg = max((int(valid_counts[c]) for c in ids), default=0)
-            vg = -(-max(vg, 1) // 8) * 8
+            vg = -(-max(vg, 1) // 16) * 16
             if pin is not None:
                 vg = max(vg, int(pin[1]))
             sco = np.tile(noop, (sz, vg, 1))
-            for k, c in enumerate(ids):
+            for k, c in enumerate(ids[:sz0]):
                 flat = [row for lv in balls[c] for row in lv]
                 if flat:
                     sco[k, :len(flat)] = np.asarray(flat, np.int32)
@@ -553,9 +608,17 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
                  invariant, ball_levels, score_ops, sub_rows, edge_pos,
                  merge_edges, ball_slots: int,
                  newton_iters: int = 5, cand_batch: int = 16,
-                 score_batch: int = 104):
+                 score_batch: int = 104, use_kernel: bool = False,
+                 kernel_interpret: bool = False):
     """Radius-limited exact SPR scores of ONE ball-size group:
     ([Cg, Vg] scores, [Cg, Vg] t3).
+
+    use_kernel=True routes the scoring phase (sumtable + Newton + logL
+    per slot) through the fused Pallas edge scorer
+    (ops/edge_score_pallas.py) — the ball recursion stays XLA and its
+    per-chunk scratch is handed to the kernel in HBM.  Requirements
+    (caller checks): f32, per-site scalers, no asc-bias, invariant
+    indices all -1.
 
     Per candidate, runs the outward changed-message recursion over its
     jagged ball levels (seeded through the merged edge's
@@ -582,14 +645,15 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
     thresh = jnp.asarray(cfg.scale_threshold, dtype)
     factor = jnp.asarray(cfg.scale_factor, dtype)
 
-    def per_cand(c):
+    def recurse_one(c):
+        """Ball recursion for candidate c -> (scratch [slots, R, S, T],
+        sscr [slots, T], sub_scal [T], t3_0)."""
         m = merge_edges[c]
         merged = pmatrix_ops.compute_pmatrices(
             (branch_lengths[m[0]] + branch_lengths[m[1]])[None],
             model.eigenvals, model.eigenvecs, model.inv_eigenvecs,
             model.rates, model.prop_invar, model.params_indices,
             dtype=dtype)[0]                                # [R, S, S]
-        sub_clv = base_clv[sub_rows[c, 0]]
         sub_scal = base_scal[sub_rows[c, 1]]
         t3_0 = branch_lengths[edge_pos[c]]
 
@@ -620,6 +684,17 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
             snew = s1 + s2 + mask.astype(jnp.int32)
             scratch = scratch.at[lv[:, BOP_PARENT]].set(parent)
             sscr = sscr.at[lv[:, BOP_PARENT]].set(snew)
+        return scratch, sscr, sub_scal, t3_0
+
+    if use_kernel:
+        return _score_group_kernel(
+            cfg, model, base_clv, base_scal, halves, branch_lengths,
+            pattern_weights, score_ops, sub_rows, edge_pos, recurse_one,
+            ball_slots, newton_iters, cand_batch, kernel_interpret)
+
+    def per_cand(c):
+        scratch, sscr, sub_scal, t3_0 = recurse_one(c)
+        sub_clv = base_clv[sub_rows[c, 0]]
 
         def per_slot(row):
             away = scratch[row[BOP_PARENT]]
@@ -666,20 +741,79 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
                        batch_size=cand_batch)
 
 
+def _score_group_kernel(cfg, model, base_clv, base_scal, halves,
+                        branch_lengths, pattern_weights, score_ops,
+                        sub_rows, edge_pos, recurse_one, ball_slots: int,
+                        newton_iters: int, cand_batch: int,
+                        interpret: bool):
+    """Kernel-path scoring: chunked ball recursion (XLA) feeding the
+    fused Pallas edge scorer.  Scratch slots are renumbered to flat
+    score order by compile_spr, so away operands are consecutive blocks;
+    the remaining per-slot operands are pre-gathered into slot order
+    with XLA row-takes.  Cg must be a multiple of cand_batch
+    (compile_spr pads groups); falls back to the largest divisor
+    otherwise."""
+    from .ops import edge_score_pallas as esp
+    from .ops.partials_pallas_tree import _block_diag_pmatrix
+
+    Cg, Vg = score_ops.shape[:2]
+    cb = min(cand_batch, Cg)
+    while Cg % cb:
+        cb -= 1
+    n_chunks = Cg // cb
+    R, S = cfg.rate_cats, cfg.states
+    span = R * S
+    T = base_clv.shape[-1]
+    base_flat = base_clv.reshape(-1, span, T).astype(jnp.float32)
+    hbd_all = _block_diag_pmatrix(halves.astype(jnp.float32), jnp.float32)
+    lbd, rbd, xw = esp.model_constants(model, cfg)
+    pwrow = pattern_weights.astype(jnp.float32).reshape(1, T)
+    log_thresh = float(np.log(cfg.scale_threshold))
+
+    def per_chunk(ci):
+        cs = ci * cb
+        idx = cs + jnp.arange(cb)
+        scr, ss, _sub_scal, t3_0 = jax.vmap(recurse_one)(idx)
+        away = scr[:, :Vg].reshape(cb * Vg, span, T).astype(jnp.float32)
+        away_s = ss[:, :Vg].reshape(cb * Vg, T)
+        sops = jax.lax.dynamic_slice_in_dim(score_ops, cs, cb)  # [cb,Vg,12]
+        srows = jax.lax.dynamic_slice_in_dim(sub_rows, cs, cb)  # [cb, 2]
+        other = base_flat[sops[..., BOP_SC_ROW].reshape(-1)]
+        sub = base_flat[srows[:, 0]]                            # [cb,sp,T]
+        hbd = hbd_all[sops[..., BOP_EDGE].reshape(-1)]
+        scal = (away_s
+                + base_scal[sops[..., BOP_SC_SCAL].reshape(-1)]
+                + jnp.repeat(base_scal[srows[:, 1]], Vg, axis=0))
+        t0q = jnp.repeat(jnp.round(t3_0.astype(jnp.float32)
+                                   * 1e7).astype(jnp.int32), Vg)
+        s, t3 = esp.edge_scores(
+            t0q, away, other, sub, hbd, scal, lbd, rbd, xw, pwrow,
+            slots_per_cand=Vg, newton_iters=newton_iters,
+            log_thresh=log_thresh, interpret=interpret)
+        valid = sops[..., BOP_VALID].reshape(cb * Vg) == 1
+        s = jnp.where(valid, s, -jnp.inf)
+        return (s.reshape(cb, Vg).astype(cfg.dtype),
+                t3.reshape(cb, Vg).astype(cfg.dtype))
+
+    s, t3 = jax.lax.map(per_chunk, jnp.arange(n_chunks))
+    return s.reshape(Cg, Vg), t3.reshape(Cg, Vg)
+
+
 # standalone jitted form (tests / kernel experiments); spr_round uses the
 # fused _spr_round_device below instead
 _spr_ball_scores = jax.jit(
     _score_group,
     static_argnames=("cfg", "ball_slots", "newton_iters",
-                     "cand_batch", "score_batch"))
+                     "cand_batch", "score_batch", "use_kernel",
+                     "kernel_interpret"))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ball_slots",
-                                              "newton_iters"))
+                                              "newton_iters", "use_kernel"))
 def _spr_round_device(cfg: PartitionConfig, model, level_ops, pmat_slots,
                       branch_lengths, tipchars, pattern_weights, invariant,
                       root_rows, root_slot, group_args, ball_slots: int,
-                      newton_iters: int = 3):
+                      newton_iters: int = 3, use_kernel: bool = False):
     """One fused device program per SPR round: the base message sweep,
     the root-edge logL, and EVERY ball-size group's recursion + scoring —
     a single dispatch, a single executable, one sweep shared by all
@@ -704,7 +838,8 @@ def _spr_round_device(cfg: PartitionConfig, model, level_ops, pmat_slots,
                              halves, bl_g, pattern_weights, invariant,
                              lvls, sops, srows, epos, medges,
                              ball_slots=ball_slots,
-                             newton_iters=newton_iters)
+                             newton_iters=newton_iters,
+                             use_kernel=use_kernel)
         dep = s
         outs.append((s, t3))
     return logl0, tuple(outs)
@@ -855,10 +990,16 @@ def spr_round(prog: SprProgram, model,
              jnp.asarray(g.score_ops), jnp.asarray(g.sub_rows),
              jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges))
             for g in prog.ball_groups)
+        # fused Pallas edge scorer when its contract holds (f32, per-site
+        # scalers, no asc-bias, no invariant-marked sites, real TPU)
+        use_kernel = (cfg.dtype == jnp.float32
+                      and jax.default_backend() not in ("cpu",)
+                      and bool(np.all(np.asarray(inv_d) < 0)))
         logl0_d, outs = _spr_round_device(
             cfg, model, lops, pslots, bl, tipchars, pw_d, inv_d,
             erow[prog.root_edge], pslots[prog.root_edge], group_args,
-            ball_slots=prog.ball_slots, newton_iters=newton_iters)
+            ball_slots=prog.ball_slots, newton_iters=newton_iters,
+            use_kernel=use_kernel)
         logl0 = float(logl0_d)
         flat_scores, flat_t3, flat_cand, flat_edge = [], [], [], []
         for g, (s, t3) in zip(prog.ball_groups, outs):
@@ -1052,13 +1193,16 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
     # e.g. stepwise addition — may carry non-template clv indices)
     tree = parse_newick_string(export_newick(tree.vroot, precision=None))
     prog = compile_spr(tree, cfg, radius=radius)
+    init_smooth_s = 0.0
     if smooth_every:
         # optimize the starting branch lengths first: parsimony starting
         # trees carry arbitrary lengths, and SPR scores against unsmoothed
         # branches under-rank good moves (RAxML-NG smooths before its
         # first round too)
+        t0 = time.perf_counter()
         prog = smooth_branches(prog, model, tipchars_by_label,
                                rounds=smooth_rounds)
+        init_smooth_s = time.perf_counter() - t0
     trace: List[float] = []
     round_secs: List[float] = []
     radius_trace: List[Optional[int]] = []
@@ -1125,4 +1269,5 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                              "logl_trace": trace,
                              "round_secs": round_secs,
                              "radius_trace": radius_trace,
-                             "phase_timings": phase_timings}
+                             "phase_timings": phase_timings,
+                             "init_smooth_s": init_smooth_s}

@@ -142,8 +142,8 @@ def test_vmem_caterpillar_pool_small():
 
 
 @pytest.mark.parametrize("precision", ["highest", "default"])
-def test_static2_protein_matches_xla(precision):
-    """Wide state spaces (protein, span = 80) on both static kernels
+def test_static_protein_matches_xla(precision):
+    """Wide state spaces (protein, span = 80) on the static kernel
     (contraction depths beyond 128 chunk fine on the MXU).  Also
     exercises the Q-tip padding at parts*S = 60 -> 64."""
     import dataclasses
@@ -185,9 +185,9 @@ def test_static2_protein_matches_xla(precision):
     nt = cfg.sites_padded // tb
     tip_b = jnp.transpose(
         tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
-    clv_rows, scal_rows = ppt.sweep_static2(tip_b, pmats,
-                                            program.vmem_prog, cfg, tb,
-                                            interpret=True)
+    clv_rows, scal_rows = ppt.sweep_static(tip_b, pmats,
+                                           program.vmem_prog, cfg, tb,
+                                           interpret=True)
     prog = program.vmem_prog
     rtol = {"highest": 2e-6, "default": 8e-2}[precision]
     for clv_idx, row in prog.export_clv_map.items():
@@ -292,10 +292,9 @@ def test_choose_prefers_static():
 # topology-specialized (static) kernel
 # --------------------------------------------------------------------------
 
-@pytest.mark.parametrize("kernel", ["static", "static2"])
 @pytest.mark.parametrize("per_rate", [False, True])
 @pytest.mark.parametrize("precision", ["highest", "high", "default"])
-def test_static_matches_xla(kernel, per_rate, precision):
+def test_static_matches_xla(per_rate, precision):
     import dataclasses
     rng = np.random.default_rng(3)
     newick = random_newick(24, rng)
@@ -322,9 +321,8 @@ def test_static_matches_xla(kernel, per_rate, precision):
     nt = cfg.sites_padded // tb
     tip_b = jnp.transpose(
         tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
-    sweep_fn = ppt.sweep_static if kernel == "static" else ppt.sweep_static2
-    clv_rows, scal_rows = sweep_fn(tip_b, pmats, prog, cfg, tb,
-                                   interpret=True)
+    clv_rows, scal_rows = ppt.sweep_static(tip_b, pmats, prog, cfg, tb,
+                                           interpret=True)
     rtol = {"highest": 1e-6, "high": 2e-4, "default": 8e-2}[precision]
     for clv_idx, row in prog.export_clv_map.items():
         got = np.asarray(ppt.unblock_clv_row(clv_rows[row]))

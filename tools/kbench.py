@@ -84,7 +84,7 @@ def main():
             # big arrays are ARGUMENTS of the jitted chain: closing over
             # them embeds 64MB HLO constants that cost ~400s of extra
             # cold compile through the remote-compile tunnel (scanprobe.py)
-            if mode == "static2":
+            if mode == "never-static2":
                 def fn(seed, tip_b, pmats, tb=tb):
                     return ppt.sweep_static2(
                         tip_b, pmats * (1.0 + seed), program.vmem_prog,
