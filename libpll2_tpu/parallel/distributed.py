@@ -41,8 +41,16 @@ def initialize(coordinator_address: Optional[str] = None,
     # do NOT call jax.process_count()/jax.devices() here: that would
     # instantiate the single-process backend and make the distributed
     # init below a silent no-op (its RuntimeError is swallowed)
-    from jax._src import distributed as _jdist
-    if getattr(_jdist.global_state, "client", None) is not None:
+    already = None
+    if hasattr(jax.distributed, "is_initialized"):       # public, newer JAX
+        already = jax.distributed.is_initialized()
+    else:
+        try:                                 # private fallback, older JAX
+            from jax._src import distributed as _jdist
+            already = getattr(_jdist.global_state, "client", None) is not None
+        except Exception:                    # API moved: probe via init below
+            already = None
+    if already:
         return jax.process_count()          # already initialized
     kwargs = {}
     if coordinator_address is not None:

@@ -784,8 +784,11 @@ def _score_group_kernel(cfg, model, base_clv, base_scal, halves,
         scal = (away_s
                 + base_scal[sops[..., BOP_SC_SCAL].reshape(-1)]
                 + jnp.repeat(base_scal[srows[:, 1]], Vg, axis=0))
-        t0q = jnp.repeat(jnp.round(t3_0.astype(jnp.float32)
-                                   * 1e7).astype(jnp.int32), Vg)
+        # clip to the Newton clamp range BEFORE the 1e-7 fixed-point
+        # quantization: a user-supplied branch length > ~214.7 would
+        # overflow int32 and corrupt the Newton starting value
+        t0c = jnp.clip(t3_0.astype(jnp.float32), 1e-8, 100.0)
+        t0q = jnp.repeat(jnp.round(t0c * 1e7).astype(jnp.int32), Vg)
         s, t3 = esp.edge_scores(
             t0q, away, other, sub, hbd, scal, lbd, rbd, xw, pwrow,
             slots_per_cand=Vg, newton_iters=newton_iters,
@@ -991,35 +994,51 @@ def spr_round(prog: SprProgram, model,
              jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges))
             for g in prog.ball_groups)
         # fused Pallas edge scorer when its contract holds (f32, per-site
-        # scalers, no asc-bias, no invariant-marked sites, real TPU)
+        # scalers, no asc-bias, no invariant-marked sites, real TPU — the
+        # kernel uses pltpu grid specs and would crash on any other
+        # accelerator backend)
         use_kernel = (cfg.dtype == jnp.float32
-                      and jax.default_backend() not in ("cpu",)
+                      and jax.default_backend() == "tpu"
                       and bool(np.all(np.asarray(inv_d) < 0)))
-        logl0_d, outs = _spr_round_device(
-            cfg, model, lops, pslots, bl, tipchars, pw_d, inv_d,
-            erow[prog.root_edge], pslots[prog.root_edge], group_args,
-            ball_slots=prog.ball_slots, newton_iters=newton_iters,
-            use_kernel=use_kernel)
-        logl0 = float(logl0_d)
-        flat_scores, flat_t3, flat_cand, flat_edge = [], [], [], []
-        for g, (s, t3) in zip(prog.ball_groups, outs):
-            s, t3 = np.asarray(s), np.asarray(t3)
-            vmask = g.score_ops[..., BOP_VALID] == 1
-            nv = int(vmask.sum())
-            # canary for the XLA:TPU batched-gather miscompile (see
-            # _score_group): a corrupted recursion scores EVERY valid
-            # slot -inf — never a legitimate outcome at this scale
-            if nv > 16 and np.all(np.isneginf(s[vmask])):
-                raise RuntimeError(
-                    "SPR ball scorer returned -inf for every valid slot — "
-                    "suspected XLA:TPU batched-gather miscompile at this "
-                    "(cand_batch, sites) shape; change cand_batch in "
-                    "_score_group")
-            rows, cols = np.nonzero(vmask)
-            flat_scores.append(s[rows, cols])
-            flat_t3.append(t3[rows, cols])
-            flat_cand.append(g.cand_ids[rows])
-            flat_edge.append(g.score_ops[rows, cols, BOP_EDGE])
+
+        def run_round(kernel_on: bool):
+            logl0_d, outs = _spr_round_device(
+                cfg, model, lops, pslots, bl, tipchars, pw_d, inv_d,
+                erow[prog.root_edge], pslots[prog.root_edge], group_args,
+                ball_slots=prog.ball_slots, newton_iters=newton_iters,
+                use_kernel=kernel_on)
+            canary = False
+            flat_s, flat_t, flat_c, flat_e = [], [], [], []
+            for g, (s, t3) in zip(prog.ball_groups, outs):
+                s, t3 = np.asarray(s), np.asarray(t3)
+                vmask = g.score_ops[..., BOP_VALID] == 1
+                # canary for the XLA:TPU batched-gather miscompile (see
+                # _score_group): a corrupted recursion scores EVERY valid
+                # slot -inf — essentially never a legitimate outcome at
+                # this scale
+                if int(vmask.sum()) > 16 and np.all(np.isneginf(s[vmask])):
+                    canary = True
+                rows, cols = np.nonzero(vmask)
+                flat_s.append(s[rows, cols])
+                flat_t.append(t3[rows, cols])
+                flat_c.append(g.cand_ids[rows])
+                flat_e.append(g.score_ops[rows, cols, BOP_EDGE])
+            return float(logl0_d), canary, flat_s, flat_t, flat_c, flat_e
+
+        logl0, canary, flat_scores, flat_t3, flat_cand, flat_edge = \
+            run_round(use_kernel)
+        if canary and use_kernel:
+            # retry through the XLA scorer before aborting: a legitimately
+            # pathological round where every candidate underflows to -inf
+            # must report "no improving moves", not kill the search
+            logl0, canary, flat_scores, flat_t3, flat_cand, flat_edge = \
+                run_round(False)
+        if canary:
+            raise RuntimeError(
+                "SPR ball scorer returned -inf for every valid slot on "
+                "both the kernel and XLA paths — suspected XLA:TPU "
+                "batched-gather miscompile at this (cand_batch, sites) "
+                "shape; change cand_batch in _score_group")
         scores = np.concatenate(flat_scores)
         t3s = np.concatenate(flat_t3)
         cand_of = np.concatenate(flat_cand)
