@@ -268,15 +268,25 @@ def _format_length(length: float, precision: Optional[int]) -> str:
 
 
 def export_newick(root: UNode, with_lengths: bool = True,
-                  precision: Optional[int] = 6) -> str:
+                  precision: Optional[int] = 6,
+                  cb_serialize: Optional[Callable[[UNode], str]] = None
+                  ) -> str:
     """Serialize the unrooted tree from a (virtual) root node.
 
     precision: decimal places for branch lengths ("%f" of the reference's
     pll_utree_export_newick = 6); None = full-precision repr (exact float
-    roundtrip, used by tree search so lengths survive re-parsing)."""
+    roundtrip, used by tree search so lengths survive re-parsing).
+
+    cb_serialize: optional callback returning the COMPLETE serialized
+    token (label, annotations, branch length) for one node, replacing the
+    default "label:length" — the pll_utree_export_newick(root, cb)
+    contract (utree.c:162-248): applied to every node except the
+    top-level root, which prints its bare label."""
 
     def subtree(node: UNode) -> str:
         if node.next is None:
+            if cb_serialize is not None:
+                return cb_serialize(node)
             s = node.label or ""
         else:
             kids = []
@@ -284,6 +294,8 @@ def export_newick(root: UNode, with_lengths: bool = True,
             while snode is not node:
                 kids.append(subtree(snode.back))
                 snode = snode.next
+            if cb_serialize is not None:
+                return "(" + ",".join(kids) + ")" + cb_serialize(node)
             s = "(" + ",".join(kids) + ")" + (node.label or "")
         if with_lengths:
             s += ":" + _format_length(node.length, precision)

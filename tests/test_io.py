@@ -130,3 +130,43 @@ def test_compress_logl_equivalence():
     full = logl_for(seqs)
     comp = logl_for(out, w)
     np.testing.assert_allclose(comp, full, rtol=1e-12)
+
+
+def test_fasta_streaming_reader(tmp_path):
+    """FastaFile: record-at-a-time getnext with rewind/position
+    (pll_fasta_open/getnext/rewind/getfilepos, fasta.c:40-326)."""
+    from libpll2_tpu.io import FastaFile
+
+    path = tmp_path / "msa.fa"
+    path.write_text(FASTA)
+    with FastaFile(str(path)) as fd:
+        assert fd.filesize == len(FASTA)
+        r1 = fd.getnext()
+        assert r1 == ("taxon1 first", "ACGT-ACGTACG", 1)
+        assert 0 < fd.getfilepos() <= fd.filesize
+        r2 = fd.getnext()
+        assert r2 == ("taxon2", "ACGTTACGTACG", 2)
+        assert fd.getnext() == ("taxon3", "ACGAAACGTACG", 3)
+        assert fd.getnext() is None
+        # whitespace stripping is counted per char code (fd->stripped)
+        assert fd.stripped_count > 0 and fd.stripped.get("\n", 0) > 0
+        fd.rewind()
+        assert fd.getnext() == r1
+        # iterator protocol resumes from the current record
+        assert [h for h, _ in fd] == ["taxon2", "taxon3"]
+
+
+def test_fasta_streaming_errors(tmp_path):
+    from libpll2_tpu.io import FastaFile
+    from libpll2_tpu.io.fasta import FastaError
+
+    bad = tmp_path / "bad.fa"
+    bad.write_text("ACGT\n>x\nACGT\n")
+    with FastaFile(str(bad)) as fd:
+        with pytest.raises(FastaError):
+            fd.getnext()
+    bad2 = tmp_path / "bad2.fa"
+    bad2.write_text(">x\nAC{T\n")
+    with FastaFile(str(bad2)) as fd:
+        with pytest.raises(FastaError):
+            fd.getnext()

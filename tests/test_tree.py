@@ -106,3 +106,16 @@ def test_strict_parser_rejects_multifurcation():
 def test_unroot_rejects_multifurcation():
     with pytest.raises(ValueError, match="bifurcating"):
         T.parse_newick_string_unroot("((A:1,B:1,C:1):1,(D:1,E:1):1);")
+
+
+def test_export_newick_serialize_callback():
+    """pll_utree_export_newick(root, cb) contract (utree.c:162-248): the
+    callback emits the full token for every node except the top-level
+    root, which prints its bare label."""
+    t = T.parse_newick_string("((A:0.1,B:0.2)ab:0.3,C:0.4,D:0.5)r;")
+
+    def cb(node):
+        return f"{node.label or ''}<{node.length:.1f}>"
+
+    out = T.export_newick(t.vroot, cb_serialize=cb)
+    assert out == "((A<0.1>,B<0.2>)ab<0.3>,C<0.4>,D<0.5>)r;"
