@@ -170,7 +170,12 @@ def measure_case(tips: int, sites: int, states: int = 4,
 
 def measure_search_round() -> dict:
     """Steady-state production SPR round (search_fast, radius 5) at
-    256 taxa x 4096 sites — the workload the reference exists to power."""
+    256 taxa x 4096 sites — the workload the reference exists to power.
+
+    Reports per-phase wall time (score / select / apply / verify) for the
+    steady rounds, jit-cache counters, AND search quality: normalized RF
+    distance to the simulation truth plus Δ logL vs the (smoothed) true
+    tree — speed without a recovery metric measures the wrong thing."""
     import jax
     import jax.numpy as jnp
 
@@ -178,9 +183,11 @@ def measure_search_round() -> dict:
     from libpll2_tpu import tree as T
     from libpll2_tpu.config import PartitionConfig
     from libpll2_tpu.models.gamma import compute_gamma_cats
+    from libpll2_tpu.tree.compare import rf_distance_normalized
     from libpll2_tpu.tree.generate import random_newick, simulate_alignment
 
     tips, sites, radius = 256, 4096, 5
+    rounds = int(os.environ.get("BENCH_SEARCH_ROUNDS", 3))
     rng = np.random.default_rng(20260820)
     rates = compute_gamma_cats(0.9, RATE_CATS)
     subst = [1.2, 2.7, 0.8, 1.1, 3.0, 1.0]
@@ -203,25 +210,55 @@ def measure_search_round() -> dict:
     model = engine.make_model([subst], [freqs], rates, dtype=jnp.float32)
 
     t0 = time.time()
-    _tree, _logl, stats = search_fast.hill_climb(
-        start, cfg, model, chars, max_rounds=3, radius=radius,
+    final, logl, stats = search_fast.hill_climb(
+        start, cfg, model, chars, max_rounds=rounds, radius=radius,
         smooth_every=0)
     total = time.time() - t0
     rs = stats["round_secs"]
     steady = float(np.median(rs[1:])) if len(rs) > 1 else rs[0]
+
+    # per-phase breakdown of the steady rounds (numeric keys only; the
+    # timing dicts also carry shape/cache diagnostics)
+    steady_tms = stats["phase_timings"][1:] or stats["phase_timings"]
+    phases = {}
+    for tm in steady_tms:
+        for k, v in tm.items():
+            if isinstance(v, float):
+                phases[k] = phases.get(k, 0.0) + v / len(steady_tms)
+    cache_sizes = stats["phase_timings"][-1].get("cache")
+
+    # search quality vs the simulation truth
+    rf_start = rf_distance_normalized(start, tree)
+    rf_final = rf_distance_normalized(final, tree)
+    logl_true, _ = search_fast.evaluate_tree(tree, cfg, model, chars)
     print(f"[search] rounds={stats['rounds']} moves={stats['moves']} "
           f"first={rs[0]:.1f}s steady={steady:.2f}s total={total:.1f}s",
           file=sys.stderr)
+    print(f"[search] phases(steady): "
+          + " ".join(f"{k}={v:.2f}s" for k, v in sorted(phases.items())),
+          file=sys.stderr)
+    print(f"[search] quality: RF {rf_start:.3f} -> {rf_final:.3f}  "
+          f"logl={logl:.1f} true={logl_true:.1f} "
+          f"dlogl={logl - logl_true:.1f}", file=sys.stderr)
     return {"tips": tips, "sites": sites, "radius": radius,
             "first_round_s": rs[0], "steady_round_s": steady,
-            "moves": stats["moves"]}
+            "moves": stats["moves"], "phase_secs_steady": phases,
+            "jit_cache_sizes": cache_sizes,
+            "rf_start": rf_start, "rf_final": rf_final,
+            "logl_final": logl, "logl_true_tree": logl_true,
+            "delta_logl_vs_truth": logl - logl_true}
 
 
 def main() -> None:
     if os.environ.get("BENCH_WARM_PROBE") == "1":
         # subprocess mode: report the warm-start compile of the primary
-        # case through the persistent cache (populated by the parent)
-        r = measure_case(TIPS, SITES, 4, reps=4)
+        # case through the persistent cache (populated by the parent).
+        # reps MUST equal the parent's: the timing chain is a
+        # lax.scan(length=reps) program, so a different reps is a
+        # DIFFERENT program — a guaranteed Pallas cache-miss, which is
+        # exactly the unbounded cold-compile this probe exists to rule
+        # out (the round-4 900 s warm-probe timeout was this bug)
+        r = measure_case(TIPS, SITES, 4, reps=REPS)
         print(json.dumps({"warm_compile_s": r["cold_compile_s"]}))
         return
 

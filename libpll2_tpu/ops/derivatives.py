@@ -102,8 +102,13 @@ def sumtable_loglikelihood(sumtable,         # [R, S, T]
     makes batched placement scoring with per-edge Newton refinement cheap
     (no re-sweep per trial length).  Per-site scalers enter as the summed
     counter correction; per-rate relative scalers must already be folded
-    into the sumtable (update_sumtable).  No asc-bias support (callers
-    assert cfg.asc_bias == AB_NONE).
+    into the sumtable (update_sumtable).
+
+    Asc-bias: Lewis/Felsenstein require the PHANTOM columns of the
+    sumtable to already be absolute (caller passes asc_scalers to
+    update_sumtable, mirroring the likelihood_derivatives contract);
+    Stamatakis uses the raw scalings.  +I is incompatible with asc bias
+    (the reference refuses the combination at partition creation).
     """
     dtype = sumtable.dtype
     pinv = prop_invar.astype(dtype)
@@ -122,11 +127,25 @@ def sumtable_loglikelihood(sumtable,         # [R, S, T]
     term = jnp.einsum("rt,r->t", cat0, rate_weights.astype(dtype),
                       precision=HIGHEST)
     live = pattern_weights > 0
+    if cfg.asc_bias != AB_NONE:
+        live = jnp.logical_and(
+            live, jnp.asarray(np.arange(cfg.sites_padded) < cfg.sites))
     safe = jnp.where(live, term, 1.0)
     site_lk = jnp.log(safe) + site_scalings.astype(dtype) \
         * jnp.asarray(cfg.log_scale_threshold, dtype)
-    return jnp.sum(jnp.where(live,
+    logl = jnp.sum(jnp.where(live,
                              site_lk * pattern_weights.astype(dtype), 0.0))
+    if cfg.asc_bias != AB_NONE:
+        from .likelihood import asc_bias_correction
+        sc = site_scalings
+        if cfg.asc_bias in (AB_LEWIS, AB_FELSENSTEIN):
+            # phantoms already absolute in the sumtable -> no re-undo
+            phantom = (np.arange(cfg.sites_padded) >= cfg.sites) \
+                & (np.arange(cfg.sites_padded) < cfg.sites + cfg.states)
+            sc = jnp.where(jnp.asarray(phantom), 0, sc)
+        logl = logl + asc_bias_correction(term, sc, pattern_weights, cfg,
+                                          dtype)
+    return logl
 
 
 def likelihood_derivatives(sumtable,         # [R, S, T]

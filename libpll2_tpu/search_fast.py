@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +132,7 @@ class SprProgram:
     # host metadata for applying moves
     cand_prune_node: np.ndarray     # [C] node_index of remainder half-node p
     cand_affected: List[frozenset]  # clv-index sets for conflict detection
+    cand_hard: List[frozenset]      # clv sets the SPR surgery itself touches
     edge_endpoints: np.ndarray      # [E, 2] clv indices of edge endpoints
     edge_node: np.ndarray           # [E] node_index of the A-side half-node
     # radius-limited scoring (present when compiled with radius=K):
@@ -166,8 +167,6 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
     """Compile one topology into runtime search arrays + candidate table."""
     if cfg.per_rate_scalers:
         raise ValueError("fast SPR search supports per-site scalers only")
-    if cfg.asc_bias != 0:
-        raise ValueError("fast SPR search does not support asc-bias yet")
     full = engine.compile_tree_full(tree, cfg)
     cfg_ext = full.cfg_ext
     level_ops = _pad_level_ops(full.level_ops, cfg_ext,
@@ -249,13 +248,17 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                        | (edge_endpoints[:, 1] == p.clv_index))
             else:
                 ev = np.zeros(E, bool)
-            # conflict set: pruned nodes + p's node + p's other neighbors
-            affected = set(np.nonzero(bh)[0].tolist())
-            affected.add(p.clv_index)
-            for h in p.roundabout():
-                affected.add(h.back.clv_index)
+            # conservative conflict set: pruned nodes + p's node + p's
+            # other neighbors (any overlap can stale a score); the HARD
+            # set is only the surgery anchor — p's node and the pruned
+            # subtree's root (one prune per anchor; everything else a
+            # batch can break is caught by the apply-time applicability
+            # checks and the exact verify ladder)
+            hard = {p.clv_index, p.back.clv_index}
+            affected = set(np.nonzero(bh)[0].tolist()) | hard \
+                | {h.back.clv_index for h in p.roundabout()}
             cands.append((i, sub_rows, gap, ev, p.node_index,
-                          frozenset(affected)))
+                          frozenset(affected), frozenset(hard)))
 
     C = len(cands)
     assert C == 3 * n - 6, (C, n)
@@ -470,6 +473,7 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
         cand_edge_valid=np.stack([c[3] for c in cands]),
         cand_prune_node=np.array([c[4] for c in cands], np.int32),
         cand_affected=[c[5] for c in cands],
+        cand_hard=[c[6] for c in cands],
         edge_endpoints=edge_endpoints,
         edge_node=edge_node,
         radius=radius,
@@ -555,7 +559,7 @@ def _spr_all_scores(cfg: PartitionConfig, model, level_ops, edge_rows,
             scal = rem_scal[rows[1]] + rem_scal[rows[3]] + sub_scal
             st = derivatives_ops.update_sumtable(
                 clvp, sub_clv, None, None, evecs, inv_evecs,
-                model.cat_freqs, cfg)
+                model.cat_freqs, cfg, asc_scalers=scal)
 
             def newton_step(_, t):
                 d1, d2 = derivatives_ops.likelihood_derivatives(
@@ -710,7 +714,7 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
             scal = away_s + other_s + sub_scal
             st = derivatives_ops.update_sumtable(
                 clvp, sub_clv, None, None, evecs, inv_evecs,
-                model.cat_freqs, cfg)
+                model.cat_freqs, cfg, asc_scalers=scal)
 
             def newton_step(_, t):
                 d1, d2 = derivatives_ops.likelihood_derivatives(
@@ -888,7 +892,8 @@ def _smooth_rt(cfg: PartitionConfig, model, level_ops, edge_rows,
             rows, t0 = args
             st = derivatives_ops.update_sumtable(
                 clv[rows[0]], clv[rows[2]], None, None, evecs, inv_evecs,
-                model.cat_freqs, cfg)
+                model.cat_freqs, cfg,
+                asc_scalers=scalers[rows[1]] + scalers[rows[3]])
 
             def newton_step(_, t):
                 d1, d2 = derivatives_ops.likelihood_derivatives(
@@ -935,10 +940,15 @@ def _tipchars_for(prog: SprProgram,
                   tipchars_by_label: Dict[str, np.ndarray]) -> jnp.ndarray:
     cfg = prog.cfg_ext
     tree = prog.tree
-    raw = np.zeros((tree.tip_count, cfg.sites_alloc), dtype=np.uint64)
+    # sites_alloc exceeds the user's columns under asc bias (phantom
+    # per-state room); missing columns default to gap and the phantoms
+    # are stamped by pad_tipchars
+    raw = np.full((tree.tip_count, cfg.sites_alloc),
+                  gap_state(cfg.states), dtype=np.uint64)
     for node in tree.nodes[:tree.tip_count]:
-        raw[node.clv_index] = \
-            tipchars_by_label[node.label][:cfg.sites_alloc]
+        seq = tipchars_by_label[node.label]
+        m = min(seq.shape[0], cfg.sites_alloc)
+        raw[node.clv_index, :m] = seq[:m]
     return jnp.asarray(engine.pad_tipchars(raw, cfg))
 
 
@@ -948,6 +958,25 @@ def _half_nodes(tree: UTree):
             yield node
         else:
             yield from node.roundabout()
+
+
+def _contains_iter(start, target) -> bool:
+    """Iterative `target inside the subtree behind start`
+    (moves.subtree_contains without the recursion limit)."""
+    stack = [start]
+    while stack:
+        h = stack.pop()
+        if h is target:
+            return True
+        if h.next is None:
+            continue
+        g = h.next
+        while g is not h:
+            if g is target:
+                return True
+            stack.append(g.back)
+            g = g.next
+    return False
 
 
 def spr_round(prog: SprProgram, model,
@@ -999,6 +1028,7 @@ def spr_round(prog: SprProgram, model,
         # accelerator backend)
         use_kernel = (cfg.dtype == jnp.float32
                       and jax.default_backend() == "tpu"
+                      and cfg.asc_bias == 0
                       and bool(np.all(np.asarray(inv_d) < 0)))
 
         def run_round(kernel_on: bool):
@@ -1065,42 +1095,76 @@ def spr_round(prog: SprProgram, model,
     # would end selection immediately — mask them out
     scores = np.where(np.isnan(scores), -np.inf, scores)
 
-    # greedy non-conflicting improving move selection (flat arrays)
+    # greedy improving move selection (flat arrays).  Two region
+    # granularities:
+    #   * cand_hard — only the nodes the SPR surgery itself rewires
+    #     (p's node, its remainder neighbors, the pruned-subtree root):
+    #     moves may interact through stale scores, but every batch is
+    #     verified exactly below, so correctness never depends on the
+    #     region choice.  This is the default — conservative regions
+    #     block ~95% of improving moves on random starts (a whole pruned
+    #     subtree conflicts with everything inside it) and convergence
+    #     becomes round-starved.
+    #   * cand_affected — the full staleness region (pruned subtree +
+    #     attachment); scores of non-conflicting moves stay exact.  Used
+    #     as the fallback when the aggressive batch verifies worse.
     order = np.argsort(scores, kind="stable")[::-1]
-    chosen: List[Tuple[int, int]] = []
-    chosen_idx: List[int] = []
-    used: set = set()
     limit = max_moves if max_moves is not None else C
-    for f in order:
-        f = int(f)
-        if scores[f] <= logl0 + eps or not np.isfinite(scores[f]):
-            break
-        c, e = int(cand_of[f]), int(edge_of[f])
-        region = prog.cand_affected[c] | set(prog.edge_endpoints[e])
-        if used & region:
-            continue
-        chosen.append((c, e))
-        chosen_idx.append(f)
-        used |= region
-        if len(chosen) >= limit:
-            break
 
+    def select(region_sets, block_regraft_edge: bool):
+        chosen: List[Tuple[int, int]] = []
+        chosen_idx: List[int] = []
+        used: set = set()
+        for f in order:
+            f = int(f)
+            if scores[f] <= logl0 + eps or not np.isfinite(scores[f]):
+                break
+            c, e = int(cand_of[f]), int(edge_of[f])
+            region = set(region_sets[c])
+            if block_regraft_edge:
+                region |= set(prog.edge_endpoints[e])
+            if used & region:
+                continue
+            chosen.append((c, e))
+            chosen_idx.append(f)
+            used |= region
+            if len(chosen) >= limit:
+                break
+        return chosen, chosen_idx
+
+    chosen, chosen_idx = select(prog.cand_hard, block_regraft_edge=False)
+    if timings is not None:
+        imp = scores > logl0 + eps
+        timings["n_improving"] = int(np.sum(imp))
+        timings["n_cand_improving"] = int(len(np.unique(cand_of[imp])))
+        timings["n_chosen"] = len(chosen)
     _t = _mark("select", _t)
     if not chosen:
         return prog, logl0, 0
 
     def apply_moves(selection, sel_idx):
+        """Apply moves sequentially on a fresh copy; moves made
+        inapplicable by earlier surgery (regraft target swallowed by a
+        pruned subtree, or now-degenerate) are skipped.  Returns
+        (new_tree, applied flat indices)."""
         newick = export_newick(prog.tree.vroot, precision=None)
         work = parse_newick_string(newick)
         halves = {h.node_index: h for h in _half_nodes(work)}
+        applied: List[int] = []
         for (c, e), f in zip(selection, sel_idx):
             p = halves[int(prog.cand_prune_node[c])]
             r = halves[int(prog.edge_node[e])]
-            moves.spr(p, r)
+            if _contains_iter(p.back, r):
+                continue
+            try:
+                moves.spr(p, r)
+            except ValueError:
+                continue
             t3 = float(t3s[f])
             p.length = p.back.length = t3
+            applied.append(f)
         return parse_newick_string(
-            export_newick(work.vroot, precision=None))
+            export_newick(work.vroot, precision=None)), applied
 
     bucket = prog.level_ops.shape[:2]
     if prog.radius is not None:
@@ -1108,36 +1172,61 @@ def spr_round(prog: SprProgram, model,
         ball_s = prog.ball_slots
     else:
         group_shapes = ball_s = None
-    new_tree = apply_moves(chosen, chosen_idx)
-    new_prog = compile_spr(new_tree, prog.cfg, min_level_shape=bucket,
+
+    def recompile(tree):
+        return compile_spr(tree, prog.cfg, min_level_shape=bucket,
                            radius=prog.radius,
                            min_group_shapes=group_shapes,
                            min_ball_slots=ball_s)
+
+    def exact_logl(new_prog):
+        tip_n = _tipchars_for(new_prog, tipchars_by_label)
+        return float(_logl_rt(
+            cfg, model, jnp.asarray(new_prog.level_ops),
+            jnp.asarray(new_prog.pmatrix_slots),
+            jnp.asarray(new_prog.branch_lengths, cfg.dtype), tip_n, pw_d,
+            inv_d, jnp.asarray(new_prog.edge_rows)[new_prog.root_edge],
+            jnp.asarray(new_prog.pmatrix_slots)[new_prog.root_edge]))
+
+    best_single = float(scores[chosen_idx[0]])
+    new_tree, applied = apply_moves(chosen, chosen_idx)
+    if timings is not None:
+        timings["n_applied"] = len(applied)
+    if not applied:
+        return prog, logl0, 0
+    new_prog = recompile(new_tree)
     _t = _mark("apply", _t)
 
-    if len(chosen) == 1:
-        # the single-move score is the exact post-move likelihood
-        return new_prog, float(scores[chosen_idx[0]]), 1
+    if len(applied) == 1:
+        # a single move's score is its exact post-move likelihood
+        return new_prog, float(scores[applied[0]]), 1
 
-    # verify the batch exactly; fall back to the single best move if the
-    # combined application interacted destructively
-    tip_n = _tipchars_for(new_prog, tipchars_by_label)
-    logl_batch = float(_logl_rt(
-        cfg, model, jnp.asarray(new_prog.level_ops),
-        jnp.asarray(new_prog.pmatrix_slots),
-        jnp.asarray(new_prog.branch_lengths, cfg.dtype), tip_n, pw_d,
-        inv_d, jnp.asarray(new_prog.edge_rows)[new_prog.root_edge],
-        jnp.asarray(new_prog.pmatrix_slots)[new_prog.root_edge]))
-    best_single = float(scores[chosen_idx[0]])
-    _t = _mark("verify", _t)
+    # verify the aggressive batch exactly; ladder down to the
+    # conservative-region batch, then the single best move — each rung
+    # is verified, so the returned logL is exact and monotone
+    logl_batch = exact_logl(new_prog)
     if logl_batch >= best_single - eps:
-        return new_prog, logl_batch, len(chosen)
-    single_tree = apply_moves(chosen[:1], chosen_idx[:1])
-    return (compile_spr(single_tree, prog.cfg, min_level_shape=bucket,
-                        radius=prog.radius,
-                        min_group_shapes=group_shapes,
-                        min_ball_slots=ball_s),
-            best_single, 1)
+        _t = _mark("verify", _t)
+        if timings is not None:
+            timings["ladder"] = 0
+        return new_prog, logl_batch, len(applied)
+
+    chosen2, chosen_idx2 = select(prog.cand_affected, block_regraft_edge=True)
+    if len(chosen2) > 1:
+        tree2, applied2 = apply_moves(chosen2, chosen_idx2)
+        prog2 = recompile(tree2)
+        logl2 = exact_logl(prog2)
+        if logl2 >= best_single - eps:
+            _t = _mark("verify", _t)
+            if timings is not None:
+                timings["ladder"] = 1
+            return prog2, logl2, len(applied2)
+
+    single_tree, applied1 = apply_moves(chosen[:1], chosen_idx[:1])
+    _t = _mark("verify", _t)
+    if timings is not None:
+        timings["ladder"] = 2
+    return recompile(single_tree), best_single, 1
 
 
 def smooth_branches(prog: SprProgram, model,
@@ -1167,6 +1256,40 @@ def smooth_branches(prog: SprProgram, model,
     return dataclasses.replace(prog, branch_lengths=bl)
 
 
+def evaluate_tree(tree: UTree, cfg: PartitionConfig, model,
+                  tipchars_by_label: Dict[str, np.ndarray],
+                  *, smooth_rounds: int = 2,
+                  pattern_weights=None, invariant=None
+                  ) -> Tuple[float, SprProgram]:
+    """Exact logL of one topology, after `smooth_rounds` rounds of batched
+    Newton branch smoothing (0 = score the lengths as given).
+
+    The search-quality yardstick: score a known-truth topology with the
+    same machinery the hill-climb uses, so Δ logL between the search
+    result and the truth is an apples-to-apples comparison."""
+    tree = parse_newick_string(export_newick(tree.vroot, precision=None))
+    prog = compile_spr(tree, cfg)
+    if smooth_rounds:
+        prog = smooth_branches(prog, model, tipchars_by_label,
+                               rounds=smooth_rounds,
+                               pattern_weights=pattern_weights,
+                               invariant=invariant)
+    tipchars = _tipchars_for(prog, tipchars_by_label)
+    pw_d, inv_d = _aux_arrays(prog)
+    if pattern_weights is not None:
+        pw_d = jnp.asarray(pattern_weights, prog.cfg_ext.dtype)
+    if invariant is not None:
+        inv_d = jnp.asarray(invariant)
+    cfg_ext = prog.cfg_ext
+    pslots = jnp.asarray(prog.pmatrix_slots)
+    logl = float(_logl_rt(
+        cfg_ext, model, jnp.asarray(prog.level_ops), pslots,
+        jnp.asarray(prog.branch_lengths, cfg_ext.dtype), tipchars, pw_d,
+        inv_d, jnp.asarray(prog.edge_rows)[prog.root_edge],
+        pslots[prog.root_edge]))
+    return logl, prog
+
+
 def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                tipchars_by_label: Dict[str, np.ndarray],
                *, max_rounds: int = 30, newton_iters: int = 3,
@@ -1174,6 +1297,7 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                eps: float = 1e-6,
                radius: Optional[int] = None,
                radius_max: Optional[int] = None,
+               pattern_weights=None, invariant=None,
                checkpoint_dir=None) -> Tuple[UTree, float, dict]:
     """Full SPR hill-climb: rounds of batched moves until no improvement.
 
@@ -1220,7 +1344,9 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
         # first round too)
         t0 = time.perf_counter()
         prog = smooth_branches(prog, model, tipchars_by_label,
-                               rounds=smooth_rounds)
+                               rounds=smooth_rounds,
+                               pattern_weights=pattern_weights,
+                               invariant=invariant)
         init_smooth_s = time.perf_counter() - t0
     trace: List[float] = []
     round_secs: List[float] = []
@@ -1240,7 +1366,8 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                               _logl_rt._cache_size())}
         prog, logl, applied = spr_round(
             prog, model, tipchars_by_label, newton_iters=newton_iters,
-            eps=eps, timings=tm)
+            eps=eps, pattern_weights=pattern_weights, invariant=invariant,
+            timings=tm)
         round_secs.append(time.perf_counter() - t0)
         phase_timings.append(tm)
         trace.append(logl)
@@ -1269,13 +1396,21 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
         if smooth_every and (r + 1) % smooth_every == 0:
             ts = time.perf_counter()
             prog = smooth_branches(prog, model, tipchars_by_label,
-                                   rounds=smooth_rounds)
+                                   rounds=smooth_rounds,
+                                   pattern_weights=pattern_weights,
+                                   invariant=invariant)
             tm["smooth"] = time.perf_counter() - ts
     if smooth_every:
         prog = smooth_branches(prog, model, tipchars_by_label,
-                               rounds=smooth_rounds)
+                               rounds=smooth_rounds,
+                               pattern_weights=pattern_weights,
+                               invariant=invariant)
     tipchars = _tipchars_for(prog, tipchars_by_label)
     pw_d, inv_d = _aux_arrays(prog)
+    if pattern_weights is not None:
+        pw_d = jnp.asarray(pattern_weights, prog.cfg_ext.dtype)
+    if invariant is not None:
+        inv_d = jnp.asarray(invariant)
     cfg_ext = prog.cfg_ext
     pslots = jnp.asarray(prog.pmatrix_slots)
     logl = float(_logl_rt(
@@ -1290,3 +1425,307 @@ def hill_climb(tree: UTree, cfg: PartitionConfig, model,
                              "radius_trace": radius_trace,
                              "phase_timings": phase_timings,
                              "init_smooth_s": init_smooth_s}
+
+
+# --------------------------------------------------------------------------
+# multi-partition search (K per-gene partitions, ONE topology)
+# --------------------------------------------------------------------------
+
+
+def compile_spr_multi(tree: UTree, cfgs: Sequence[PartitionConfig],
+                      radius: Optional[int] = None,
+                      pins: Optional[List[dict]] = None
+                      ) -> List[SprProgram]:
+    """K SprPrograms over one topology (reference clients drive one
+    pll_partition_t per gene over the same tree — SURVEY.md §2.6).
+
+    The candidate tables, ball groups and edge layouts depend only on the
+    topology, so the K programs share one move/index structure; only the
+    per-partition row spaces and branch lengths differ."""
+    tips = {c.tips for c in cfgs}
+    if len(tips) != 1 or tips.pop() != tree.tip_count:
+        raise ValueError("all partitions must cover the same taxa as the "
+                         "shared topology")
+    progs = []
+    newick = export_newick(tree.vroot, precision=None)
+    for k, cfg in enumerate(cfgs):
+        pin = pins[k] if pins is not None else {}
+        # each partition owns its tree COPY: branch lengths are unlinked,
+        # and smooth_branches writes lengths back into the tree graph
+        progs.append(compile_spr(parse_newick_string(newick), cfg,
+                                 radius=radius, **pin))
+    for p in progs[1:]:
+        np.testing.assert_array_equal(p.cand_edge, progs[0].cand_edge)
+        np.testing.assert_array_equal(p.edge_endpoints,
+                                      progs[0].edge_endpoints)
+    return progs
+
+
+def spr_round_multi(progs: List[SprProgram], models,
+                    tipchars_by_label_list, *, newton_iters: int = 3,
+                    max_moves: Optional[int] = None, eps: float = 1e-6,
+                    pattern_weights_list=None, invariant_list=None,
+                    timings: Optional[dict] = None
+                    ) -> Tuple[List[SprProgram], float, int]:
+    """One SPR round over K partitions under UNLINKED branch lengths
+    (RAxML-NG `--brlen unlinked`): each partition keeps its own branch
+    vector, each move's attachment branch is Newton-optimized per
+    partition, and the move score is the SUM of the partitions' exact
+    post-move logLs.  Selection, verification and the monotone-logL
+    guarantee work exactly as in the single-partition spr_round.
+
+    Returns (new_programs, total_logl, moves_applied)."""
+    import time as _time
+
+    K = len(progs)
+    assert len(models) == K and len(tipchars_by_label_list) == K
+
+    def _mark(key, t0):
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (_time.perf_counter()
+                                                    - t0)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
+    per_part = []
+    logl0 = 0.0
+    sum_scores = None
+    t3_list = []
+    for k, prog in enumerate(progs):
+        cfg = prog.cfg_ext
+        tipchars = _tipchars_for(prog, tipchars_by_label_list[k])
+        pw_d, inv_d = _aux_arrays(prog)
+        if pattern_weights_list is not None \
+                and pattern_weights_list[k] is not None:
+            pw_d = jnp.asarray(pattern_weights_list[k], cfg.dtype)
+        if invariant_list is not None and invariant_list[k] is not None:
+            inv_d = jnp.asarray(invariant_list[k])
+        bl = jnp.asarray(prog.branch_lengths, cfg.dtype)
+        lops = jnp.asarray(prog.level_ops)
+        erow = jnp.asarray(prog.edge_rows)
+        pslots = jnp.asarray(prog.pmatrix_slots)
+        if prog.radius is None:
+            raise ValueError("spr_round_multi requires radius-compiled "
+                             "programs")
+        group_args = tuple(
+            (tuple(jnp.asarray(a) for a in g.ball_levels),
+             jnp.asarray(g.score_ops), jnp.asarray(g.sub_rows),
+             jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges))
+            for g in prog.ball_groups)
+        use_kernel = (cfg.dtype == jnp.float32
+                      and jax.default_backend() == "tpu"
+                      and cfg.asc_bias == 0
+                      and bool(np.all(np.asarray(inv_d) < 0)))
+        logl0_d, outs = _spr_round_device(
+            cfg, models[k], lops, pslots, bl, tipchars, pw_d, inv_d,
+            erow[prog.root_edge], pslots[prog.root_edge], group_args,
+            ball_slots=prog.ball_slots, newton_iters=newton_iters,
+            use_kernel=use_kernel)
+        flat_s, flat_t, flat_c, flat_e = [], [], [], []
+        for g, (s, t3) in zip(prog.ball_groups, outs):
+            s, t3 = np.asarray(s), np.asarray(t3)
+            vmask = g.score_ops[..., BOP_VALID] == 1
+            rows, cols = np.nonzero(vmask)
+            flat_s.append(s[rows, cols])
+            flat_t.append(t3[rows, cols])
+            flat_c.append(g.cand_ids[rows])
+            flat_e.append(g.score_ops[rows, cols, BOP_EDGE])
+        scores_k = np.concatenate(flat_s)
+        scores_k = np.where(np.isnan(scores_k), -np.inf, scores_k)
+        logl0 += float(logl0_d)
+        t3_list.append(np.concatenate(flat_t))
+        cand_of = np.concatenate(flat_c)
+        edge_of = np.concatenate(flat_e)
+        if sum_scores is None:
+            sum_scores = scores_k
+            cand_ref, edge_ref = cand_of, edge_of
+        else:
+            np.testing.assert_array_equal(cand_of, cand_ref)
+            np.testing.assert_array_equal(edge_of, edge_ref)
+            sum_scores = sum_scores + scores_k
+        per_part.append((cfg, tipchars, pw_d, inv_d))
+    scores, cand_of, edge_of = sum_scores, cand_ref, edge_ref
+    prog0 = progs[0]
+    _t = _mark("score", _t)
+
+    order = np.argsort(scores, kind="stable")[::-1]
+    limit = max_moves if max_moves is not None else len(prog0.cand_hard)
+
+    def select(region_sets, block_regraft_edge):
+        chosen, chosen_idx, used = [], [], set()
+        for f in order:
+            f = int(f)
+            if scores[f] <= logl0 + eps or not np.isfinite(scores[f]):
+                break
+            c, e = int(cand_of[f]), int(edge_of[f])
+            region = set(region_sets[c])
+            if block_regraft_edge:
+                region |= set(prog0.edge_endpoints[e])
+            if used & region:
+                continue
+            chosen.append((c, e))
+            chosen_idx.append(f)
+            used |= region
+            if len(chosen) >= limit:
+                break
+        return chosen, chosen_idx
+
+    chosen, chosen_idx = select(prog0.cand_hard, False)
+    _t = _mark("select", _t)
+    if not chosen:
+        return progs, logl0, 0
+
+    def apply_all(selection, sel_idx):
+        """Apply the moves to every partition's tree (shared topology,
+        per-partition t3); returns (new_progs, applied indices)."""
+        new_trees, applied_ref = [], None
+        for k, prog in enumerate(progs):
+            t3s = t3_list[k]
+            newick = export_newick(prog.tree.vroot, precision=None)
+            work = parse_newick_string(newick)
+            halves = {h.node_index: h for h in _half_nodes(work)}
+            applied = []
+            for (c, e), f in zip(selection, sel_idx):
+                p = halves[int(prog.cand_prune_node[c])]
+                r = halves[int(prog.edge_node[e])]
+                if _contains_iter(p.back, r):
+                    continue
+                try:
+                    moves.spr(p, r)
+                except ValueError:
+                    continue
+                p.length = p.back.length = float(t3s[f])
+                applied.append(f)
+            if applied_ref is None:
+                applied_ref = applied
+            else:
+                assert applied == applied_ref   # topology-driven: same
+            new_trees.append(parse_newick_string(
+                export_newick(work.vroot, precision=None)))
+        pins = [{"min_level_shape": p.level_ops.shape[:2],
+                 "min_group_shapes": tuple(g.shape_key
+                                           for g in p.ball_groups),
+                 "min_ball_slots": p.ball_slots} for p in progs]
+        new_progs = []
+        for k, (t, prog) in enumerate(zip(new_trees, progs)):
+            new_progs.append(compile_spr(t, prog.cfg, radius=prog.radius,
+                                         **pins[k]))
+        return new_progs, applied_ref
+
+    def total_exact(new_progs):
+        tot = 0.0
+        for k, np_ in enumerate(new_progs):
+            cfg, _, pw_d, inv_d = per_part[k]
+            tip_n = _tipchars_for(np_, tipchars_by_label_list[k])
+            tot += float(_logl_rt(
+                cfg, models[k], jnp.asarray(np_.level_ops),
+                jnp.asarray(np_.pmatrix_slots),
+                jnp.asarray(np_.branch_lengths, cfg.dtype), tip_n, pw_d,
+                inv_d, jnp.asarray(np_.edge_rows)[np_.root_edge],
+                jnp.asarray(np_.pmatrix_slots)[np_.root_edge]))
+        return tot
+
+    best_single = float(scores[chosen_idx[0]])
+    new_progs, applied = apply_all(chosen, chosen_idx)
+    if not applied:
+        return progs, logl0, 0
+    _t = _mark("apply", _t)
+
+    if len(applied) == 1:
+        return new_progs, float(scores[applied[0]]), 1
+
+    logl_batch = total_exact(new_progs)
+    if logl_batch >= best_single - eps:
+        _t = _mark("verify", _t)
+        return new_progs, logl_batch, len(applied)
+
+    chosen2, chosen_idx2 = select(prog0.cand_affected, True)
+    if len(chosen2) > 1:
+        progs2, applied2 = apply_all(chosen2, chosen_idx2)
+        logl2 = total_exact(progs2)
+        if logl2 >= best_single - eps:
+            _t = _mark("verify", _t)
+            return progs2, logl2, len(applied2)
+
+    progs1, _ = apply_all(chosen[:1], chosen_idx[:1])
+    _t = _mark("verify", _t)
+    return progs1, best_single, 1
+
+
+def hill_climb_multi(tree: UTree, cfgs: Sequence[PartitionConfig], models,
+                     tipchars_by_label_list, *, max_rounds: int = 30,
+                     newton_iters: int = 3, smooth_every: int = 2,
+                     smooth_rounds: int = 2, eps: float = 1e-6,
+                     radius: int = 5, pattern_weights_list=None,
+                     invariant_list=None) -> Tuple[UTree, float, dict]:
+    """Multi-partition SPR hill-climb (unlinked branch lengths): one
+    shared topology, K per-gene partitions, summed logL maximized.
+
+    Returns (tree, total_logl, stats); the tree carries partition 0's
+    branch lengths (each partition's own lengths live in its program —
+    exposed via stats["programs"])."""
+    import time
+
+    tree = parse_newick_string(export_newick(tree.vroot, precision=None))
+    progs = compile_spr_multi(tree, cfgs, radius=radius)
+
+    def smooth_all(progs):
+        out = []
+        for k, p in enumerate(progs):
+            pw = (pattern_weights_list[k]
+                  if pattern_weights_list is not None else None)
+            iv = (invariant_list[k]
+                  if invariant_list is not None else None)
+            out.append(smooth_branches(p, models[k],
+                                       tipchars_by_label_list[k],
+                                       rounds=smooth_rounds,
+                                       pattern_weights=pw, invariant=iv))
+        return out
+
+    if smooth_every:
+        progs = smooth_all(progs)
+    trace: List[float] = []
+    round_secs: List[float] = []
+    phase_timings: List[dict] = []
+    total_moves = rounds = 0
+    for r in range(max_rounds):
+        t0 = time.perf_counter()
+        tm: dict = {}
+        progs, logl, applied = spr_round_multi(
+            progs, models, tipchars_by_label_list,
+            newton_iters=newton_iters, eps=eps,
+            pattern_weights_list=pattern_weights_list,
+            invariant_list=invariant_list, timings=tm)
+        round_secs.append(time.perf_counter() - t0)
+        phase_timings.append(tm)
+        trace.append(logl)
+        rounds += 1
+        total_moves += applied
+        if applied == 0:
+            break
+        if smooth_every and (r + 1) % smooth_every == 0:
+            progs = smooth_all(progs)
+    if smooth_every:
+        progs = smooth_all(progs)
+    # final exact total at the smoothed lengths
+    total = 0.0
+    for k, p in enumerate(progs):
+        cfg = p.cfg_ext
+        tip_n = _tipchars_for(p, tipchars_by_label_list[k])
+        pw_d, inv_d = _aux_arrays(p)
+        if pattern_weights_list is not None \
+                and pattern_weights_list[k] is not None:
+            pw_d = jnp.asarray(pattern_weights_list[k], cfg.dtype)
+        if invariant_list is not None and invariant_list[k] is not None:
+            inv_d = jnp.asarray(invariant_list[k])
+        total += float(_logl_rt(
+            cfg, models[k], jnp.asarray(p.level_ops),
+            jnp.asarray(p.pmatrix_slots),
+            jnp.asarray(p.branch_lengths, cfg.dtype), tip_n, pw_d, inv_d,
+            jnp.asarray(p.edge_rows)[p.root_edge],
+            jnp.asarray(p.pmatrix_slots)[p.root_edge]))
+    trace.append(total)
+    return progs[0].tree, total, {
+        "rounds": rounds, "moves": total_moves, "logl_trace": trace,
+        "round_secs": round_secs, "phase_timings": phase_timings,
+        "programs": progs}

@@ -1,3 +1,4 @@
+from .compare import rf_distance, rf_distance_normalized, splits
 from .newick import (parse_newick, parse_newick_rooted, parse_newick_string,
                      parse_newick_string_rooted, parse_newick_string_unroot,
                      parse_newick_unroot, unroot_inplace)
@@ -25,4 +26,5 @@ __all__ = [
     "show_ascii_rtree",
     "rtree_create_pars_recops", "rtree_to_utree", "rtree_traverse",
     "SvgAttrib", "export_svg",
+    "rf_distance", "rf_distance_normalized", "splits",
 ]

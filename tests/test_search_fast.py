@@ -113,6 +113,8 @@ def test_hill_climb_monotone_beats_legacy_and_caches():
     start, cfg, model, chars = _setup(n_tips=8, sites=200, seed=17,
                                       scramble_seed=99)
     scores_compiles0 = search_fast._spr_all_scores._cache_size()
+    logl_rt0 = search_fast._logl_rt._cache_size()
+    smooth0 = search_fast._smooth_rt._cache_size()
 
     tree, logl, stats = search_fast.hill_climb(
         start, cfg, model, chars, max_rounds=10)
@@ -124,10 +126,11 @@ def test_hill_climb_monotone_beats_legacy_and_caches():
     assert stats["moves"] >= 1
 
     # runtime topology => one compile per program across all rounds
+    # (deltas: other tests in the session share these global jit caches)
     assert (search_fast._spr_all_scores._cache_size()
             - scores_compiles0) == 1
-    assert search_fast._logl_rt._cache_size() <= 2
-    assert search_fast._smooth_rt._cache_size() <= 2
+    assert search_fast._logl_rt._cache_size() - logl_rt0 <= 2
+    assert search_fast._smooth_rt._cache_size() - smooth0 <= 2
 
     # at least as good as the legacy (per-topology-compile) search.
     # Drop the executables accumulated by the whole session first: the
