@@ -220,6 +220,10 @@ def _sweep(program: TreeProgram, cfg: PartitionConfig, model: Model,
         if mode == "static":
             clv_rows, scal_rows = partials_pallas_tree.sweep_static(
                 tip_b, pmatrix, program.vmem_prog, cfg, tb)
+        elif mode == "static-seg":
+            clv_rows, scal_rows = \
+                partials_pallas_tree.sweep_static_segmented(
+                    tip_b, pmatrix, program.vmem_prog, cfg, tb)
         else:
             clv_rows, scal_rows = partials_pallas_tree.sweep(
                 tip_b, pmatrix, program.vmem_prog, cfg, tb, mode=mode)

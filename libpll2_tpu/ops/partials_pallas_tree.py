@@ -303,6 +303,11 @@ def vmem_bytes(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
     tipblk = 2 * cfg.tips * tb * 4                      # double-buffered
     if mode == "static":
         return vmem_bytes_static(prog, cfg, tb, num_pmatrices)
+    if mode == "static-seg":
+        # plain static footprint + double-buffered carry in-blocks
+        n_terms = len(STATIC_TERMS[_parts_for(cfg)])
+        carry = 2 * 16 * n_terms * span * tb * 2
+        return vmem_bytes_static(prog, cfg, tb, num_pmatrices) + carry
     if mode == "splitk":
         parts = _parts_for(cfg)
         n_terms = len(SPLIT_TERMS[parts])
@@ -356,14 +361,28 @@ def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
     # retired in round 4: exact but pathologically slow on-chip, and
     # tools/static2probe.py showed its prefix-matmul construct is fine in
     # isolation — the mode carried no perf role.)
+    # site block capped AND scaled down with span: Mosaic compile
+    # memory/time grows with n_ops x tb x span for the unrolled program
+    # (16k blocks OOM the compiler at ~250 DNA ops; 126 S=20 ops at
+    # tb=4096 cost 160 s on v5e, 16.6 s at tb=512 for -4% throughput)
+    tb_target = min(STATIC_MAX_TB,
+                    max(128, (STATIC_MAX_TB * 16 // span) // 128 * 128))
     if prog.n_ops <= STATIC_MAX_OPS:
-        # site block capped: Mosaic compile memory/time scales with
-        # n_ops x tb for the unrolled program (16k blocks OOM the
-        # compiler at ~250 ops)
         tb = pick_site_block(prog, cfg, num_pmatrices, "static",
-                             target=STATIC_MAX_TB)
+                             target=tb_target)
         if tb >= 128:
             return tb, "static"
+    if prog.n_ops <= STATIC_SEG_MAX_OPS:
+        # segmented unrolled kernel: bounded compile per segment, live
+        # slots carried across boundaries (see segment_static).  v5e,
+        # 1022-op DNA tree: 192-op segments reach 6.3e9 upd/s (vs
+        # 3.9e9 splitk) at moderate compile; 511-op halves reach 7.1e9
+        # but pay ~112 s cold compile — boundaries cost ~3%/each,
+        # compile grows superlinearly per segment
+        tb = pick_site_block(prog, cfg, num_pmatrices, "static-seg",
+                             target=tb_target)
+        if tb >= 128:
+            return tb, "static-seg"
     if cfg.per_rate_scalers:
         return None
     if len(SPLIT_TERMS[parts]) * span <= 128:
@@ -976,3 +995,355 @@ def unblock_scaler_row(row_blocked):
     if sr == 1:
         return row_blocked.reshape(nt * tb)
     return jnp.transpose(row_blocked, (1, 0, 2)).reshape(sr, nt * tb)
+
+
+# --------------------------------------------------------------------------
+# Segmented static kernel — the static path beyond STATIC_MAX_OPS
+# --------------------------------------------------------------------------
+#
+# Mosaic compile cost for the unrolled kernel grows superlinearly with the
+# op count (and with span): 1022 DNA ops or 126 S=20 ops in one program
+# blow the compile budget (163 s protein cold compile, round-4 artifact),
+# and big trees used to fall off the static path entirely (dna_1024 at
+# half throughput on splitk).  The fix: cut the op list into SEGMENTS of
+# bounded unrolled work, each its own pallas_call; slots live across a
+# boundary are DMA'd out as bf16 stacked-term slabs and re-enter the next
+# segment as a VMEM-blocked input.  The Sethi–Ullman pool keeps the live
+# set O(depth), so a boundary carries ~a dozen slabs — a few MB of HBM
+# traffic per boundary vs the ~100x streaming traffic the VMEM design
+# exists to avoid.  Exports keep their exact-f32 capture semantics
+# (exp_buf at produce time) per segment.
+
+SEG_OPS = 192                   # unrolled ops per segment (measured knee:
+                                # throughput loses ~3%/boundary; per-segment
+                                # Mosaic compile grows superlinearly in ops)
+STATIC_SEG_MAX_OPS = 4096       # total op bound for the segmented path
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class StaticSegment:
+    rows: tuple                  # ((p_slot, c1..., pm1, pm2), ...) with
+                                 # slot < 0 meaning carry row -(slot+1)
+    carry_in: tuple              # slot ids entering this segment
+    carry_out: tuple             # slot ids leaving this segment
+    exports: tuple               # ((local_op_idx, slot, global_row), ...)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SegmentedProgram:
+    segments: tuple              # (StaticSegment, ...)
+    pool_size: int
+    n_exp: int
+    export_clv_map: dict
+    export_scaler_map: dict
+    _hash: int = dataclasses.field(default=None, compare=False, repr=False)
+
+    @property
+    def n_ops(self) -> int:
+        return sum(len(s.rows) for s in self.segments)
+
+    @property
+    def max_carry(self) -> int:
+        return max([1] + [max(len(s.carry_in), len(s.carry_out))
+                          for s in self.segments])
+
+    def _content_key(self):
+        return (self.segments, self.pool_size, self.n_exp,
+                tuple(sorted(self.export_clv_map.items())),
+                tuple(sorted(self.export_scaler_map.items())))
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and self._content_key() == other._content_key())
+
+    def __hash__(self):
+        if self._hash is None:
+            object.__setattr__(self, "_hash",
+                               hash(self._content_key()))
+        return self._hash
+
+
+def segment_static(prog: TreeVmemProgram, span: int,
+                   seg_ops: Optional[int] = None) -> SegmentedProgram:
+    """Cut a TreeVmemProgram's op list into bounded-op segments with
+    carry lists (see block comment)."""
+    if seg_ops is None:
+        seg_ops = SEG_OPS
+    ops = prog.ops
+    n = ops.shape[0]
+    n_segs = -(-n // seg_ops)
+    bounds = [(s * seg_ops, min((s + 1) * seg_ops, n))
+              for s in range(n_segs)]
+    seg_of_op = np.zeros(n, np.int32)
+    for s, (a, b) in enumerate(bounds):
+        seg_of_op[a:b] = s
+
+    # governing write segment per read occurrence
+    write_seg: dict[int, int] = {}
+    carry_in: list[set] = [set() for _ in range(n_segs)]
+    carry_out: list[set] = [set() for _ in range(n_segs)]
+    rewritten = []
+    export_by_op = {op_idx: (e, slot) for e, (op_idx, slot)
+                    in enumerate(prog.exports)}
+    seg_exports: list[list] = [[] for _ in range(n_segs)]
+    for i in range(n):
+        s = int(seg_of_op[i])
+        row = [int(v) for v in ops[i]]
+        for slot_col, flag_col in ((2, 3), (5, 6)):
+            if row[flag_col]:
+                continue
+            v = row[slot_col]
+            ws = write_seg[v]
+            if ws != s:
+                carry_in[s].add(v)
+                carry_out[ws].add(v)
+        write_seg[row[0]] = s
+        rewritten.append(row)
+        if i in export_by_op:
+            e, slot = export_by_op[i]
+            seg_exports[s].append((i - bounds[s][0], slot, e))
+
+    segments = []
+    for s, (a, b) in enumerate(bounds):
+        cin = tuple(sorted(carry_in[s]))
+        cin_row = {v: k for k, v in enumerate(cin)}
+        rows = []
+        wrote: set = set()
+        for i in range(a, b):
+            row = list(rewritten[i])
+            for slot_col, flag_col in ((2, 3), (5, 6)):
+                if row[flag_col]:
+                    continue
+                v = row[slot_col]
+                if v in cin_row and v not in wrote:
+                    row[slot_col] = -(cin_row[v] + 1)
+            wrote.add(row[0])
+            rows.append(tuple(row))
+        segments.append(StaticSegment(
+            rows=tuple(rows), carry_in=cin,
+            carry_out=tuple(sorted(carry_out[s])),
+            exports=tuple(seg_exports[s])))
+    return SegmentedProgram(
+        segments=tuple(segments), pool_size=prog.pool_size,
+        n_exp=len(prog.exports),
+        export_clv_map=dict(prog.export_clv_map),
+        export_scaler_map=dict(prog.export_scaler_map))
+
+
+def _tree_kernel_static_seg(pmat_ref, ptq_ref, tip_ref,
+                            carry_ref, cscal_ref,
+                            clv_out, scal_out, cout, cscal_out,
+                            pool, spool, exp_buf, exp_sems, carry_sems,
+                            *, rows: tuple, states: int, rates: int,
+                            parts: int, per_rate: bool, thresh: float,
+                            factor: float, exports: tuple,
+                            carry_out_slots: tuple):
+    """One segment of the unrolled static sweep (semantics of
+    _tree_kernel_static) with carried slots entering via carry_ref
+    ([n_in, 1, n_terms*span, TB] bf16 stacked parts) and leaving via a
+    carry-out DMA at segment end."""
+    t = pl.program_id(0)
+    tb = tip_ref.shape[-1]
+    span = rates * states
+    terms = STATIC_TERMS[parts]
+    export_at = {}
+    for local_idx, slot, e in exports:
+        export_at[local_idx] = (e, slot)
+    started = []
+
+    kq = ptq_ref.shape[-1]
+    tip_shifts = _tip_shift_rows(states, parts, kq, tb)
+
+    def child(tip_idx, slot, is_tip, pm):
+        if is_tip:
+            tiprow = tip_ref[0, tip_idx]
+            operand = ((tiprow[None, :] >> tip_shifts) & 1
+                       ).astype(jnp.bfloat16)
+            return ptq_ref[pm], operand, None
+        if slot < 0:                      # carried from an earlier segment
+            row = -(slot + 1)
+            return (pmat_ref[pm], carry_ref[row, 0], cscal_ref[row, 0])
+        return pmat_ref[pm], pool[slot], spool[slot]
+
+    dn = (((1,), (0,)), ((), ()))
+    for w, row in enumerate(rows):
+        (p_slot, c1_tip, c1_slot, c1_is_tip,
+         c2_tip, c2_slot, c2_is_tip, pm1, pm2) = row
+        p1, c1, s1 = child(c1_tip, c1_slot, c1_is_tip, pm1)
+        p2, c2, s2 = child(c2_tip, c2_slot, c2_is_tip, pm2)
+        left = jax.lax.dot_general(p1, c1, dn,
+                                   preferred_element_type=jnp.float32)
+        right = jax.lax.dot_general(p2, c2, dn,
+                                    preferred_element_type=jnp.float32)
+        parent = left * right
+        if per_rate:
+            pr = parent.reshape(rates, states, tb)
+            mask = jnp.max(pr, axis=1, keepdims=True) < thresh
+            parent = jnp.where(mask, pr * factor, pr).reshape(span, tb)
+            snew = mask[:, 0].astype(jnp.int32)
+        else:
+            mask = jnp.max(parent, axis=0, keepdims=True) < thresh
+            parent = jnp.where(mask, parent * factor, parent)
+            snew = mask.astype(jnp.int32)
+        if s1 is not None:
+            snew = snew + s1
+        if s2 is not None:
+            snew = snew + s2
+
+        rem = parent
+        split = []
+        for j in range(parts):
+            pj = rem.astype(jnp.bfloat16)
+            split.append(pj)
+            if j + 1 < parts:
+                rem = rem - pj.astype(jnp.float32)
+        pool[p_slot] = jnp.concatenate([split[j] for _, j in terms],
+                                       axis=0)
+        spool[p_slot] = snew
+
+        if w in export_at:
+            e, slot = export_at[w]
+            e32 = jnp.int32(e)
+            exp_buf[e32] = parent
+            copies = (
+                pltpu.make_async_copy(exp_buf.at[e32],
+                                      clv_out.at[e32, t],
+                                      exp_sems.at[e32, jnp.int32(0)]),
+                pltpu.make_async_copy(spool.at[jnp.int32(slot)],
+                                      scal_out.at[e32, t],
+                                      exp_sems.at[e32, jnp.int32(1)]),
+            )
+            for c in copies:
+                c.start()
+            started.append(copies)
+
+    for i, slot in enumerate(carry_out_slots):
+        i32, s32 = jnp.int32(i), jnp.int32(slot)
+        copies = (
+            pltpu.make_async_copy(pool.at[s32], cout.at[i32, t],
+                                  carry_sems.at[i32, jnp.int32(0)]),
+            pltpu.make_async_copy(spool.at[s32], cscal_out.at[i32, t],
+                                  carry_sems.at[i32, jnp.int32(1)]),
+        )
+        for c in copies:
+            c.start()
+        started.append(copies)
+
+    for copies in started:
+        for c in copies:
+            c.wait()
+
+
+def sweep_static_segmented(tip_blocked, pmatrix, prog: TreeVmemProgram,
+                           cfg: PartitionConfig, tb: int,
+                           interpret: bool = False):
+    """Segmented topology-specialized sweep: same contract as
+    sweep_static(), any op count (bounded by STATIC_SEG_MAX_OPS)."""
+    nt, tips, tb_in = tip_blocked.shape
+    assert tb_in == tb and nt * tb == cfg.sites_padded
+    R, S = cfg.rate_cats, cfg.states
+    span = R * S
+    parts = _parts_for(cfg)
+    n_terms = len(STATIC_TERMS[parts])
+    sr = R if cfg.per_rate_scalers else 1
+    P = pmatrix.shape[0]
+    kq = -(-(parts * S) // 16) * 16
+    sprog = segment_static(prog, span)
+    n_exp = sprog.n_exp
+
+    pterms, ptq = _split_pmatrix_terms_static(pmatrix, parts)
+
+    live: dict[int, tuple] = {}      # slot -> (cout, cscal, row)
+    exp_parts = [None] * n_exp
+    for seg in sprog.segments:
+        n_in = max(len(seg.carry_in), 1)
+        n_out = max(len(seg.carry_out), 1)
+        if seg.carry_in:
+            cin = jnp.stack([live[v][0][live[v][2]]
+                             for v in seg.carry_in])
+            cscal_in = jnp.stack([live[v][1][live[v][2]]
+                                  for v in seg.carry_in])
+        else:
+            cin = jnp.zeros((1, nt, n_terms * span, tb), jnp.bfloat16)
+            cscal_in = jnp.zeros((1, nt, sr, tb), jnp.int32)
+
+        kernel = functools.partial(
+            _tree_kernel_static_seg,
+            rows=seg.rows, states=S, rates=R, parts=parts,
+            per_rate=cfg.per_rate_scalers, thresh=cfg.scale_threshold,
+            factor=cfg.scale_factor, exports=seg.exports,
+            carry_out_slots=seg.carry_out
+            if seg.carry_out else (0,))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((P, span, n_terms * span),
+                             lambda t: (jnp.int32(0),) * 3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, span, kq),
+                             lambda t: (jnp.int32(0),) * 3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tips, tb),
+                             lambda t: (t, jnp.int32(0), jnp.int32(0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_in, 1, n_terms * span, tb),
+                             lambda t: (jnp.int32(0), t, jnp.int32(0),
+                                        jnp.int32(0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_in, 1, sr, tb),
+                             lambda t: (jnp.int32(0), t, jnp.int32(0),
+                                        jnp.int32(0)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((sprog.pool_size, n_terms * span, tb),
+                           jnp.bfloat16),
+                pltpu.VMEM((sprog.pool_size, sr, tb), jnp.int32),
+                pltpu.VMEM((max(n_exp, 1), span, tb), jnp.float32),
+                pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
+                pltpu.SemaphoreType.DMA((n_out, 2)),
+            ],
+        )
+
+        clv_e, scal_e, cout, cscal_out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((max(n_exp, 1), nt, span, tb),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((max(n_exp, 1), nt, sr, tb),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct((n_out, nt, n_terms * span, tb),
+                                     jnp.bfloat16),
+                jax.ShapeDtypeStruct((n_out, nt, sr, tb), jnp.int32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=len(seg.rows) * nt * R * S * tb * (4 * S + 1),
+                bytes_accessed=tips * nt * tb * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(pterms, ptq, tip_blocked, cin, cscal_in)
+
+        for i, slot in enumerate(seg.carry_out):
+            live[slot] = (cout, cscal_out, i)
+        for local_idx, slot, e in seg.exports:
+            exp_parts[e] = (clv_e, scal_e, e)
+
+    clv_rows = jnp.stack([exp_parts[e][0][exp_parts[e][2]]
+                          for e in range(n_exp)])
+    scal_rows = jnp.stack([exp_parts[e][1][exp_parts[e][2]]
+                           for e in range(n_exp)])
+    return clv_rows.reshape(n_exp, nt, R, S, tb), scal_rows

@@ -1025,9 +1025,11 @@ def spr_round(prog: SprProgram, model,
         # fused Pallas edge scorer when its contract holds (f32, per-site
         # scalers, no asc-bias, no invariant-marked sites, real TPU — the
         # kernel uses pltpu grid specs and would crash on any other
-        # accelerator backend)
+        # accelerator backend.  "axon" is the TPU-tunnel PJRT plugin
+        # (registers platform "axon", lowers Pallas under canonical
+        # "tpu")
         use_kernel = (cfg.dtype == jnp.float32
-                      and jax.default_backend() == "tpu"
+                      and jax.default_backend() in ("tpu", "axon")
                       and cfg.asc_bias == 0
                       and bool(np.all(np.asarray(inv_d) < 0)))
 
@@ -1513,7 +1515,7 @@ def spr_round_multi(progs: List[SprProgram], models,
              jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges))
             for g in prog.ball_groups)
         use_kernel = (cfg.dtype == jnp.float32
-                      and jax.default_backend() == "tpu"
+                      and jax.default_backend() in ("tpu", "axon")
                       and cfg.asc_bias == 0
                       and bool(np.all(np.asarray(inv_d) < 0)))
         logl0_d, outs = _spr_round_device(

@@ -277,15 +277,20 @@ def test_choose_prefers_static():
     choice = ppt.choose(program.vmem_prog, cfg,
                         int(program.pmatrix_indices.max()) + 1)
     assert choice is not None and choice[1] == "static"
-    # beyond the unroll cap the cross-topology (runtime-ops) kernel wins
-    orig = ppt.STATIC_MAX_OPS
+    # beyond the single-program unroll cap the SEGMENTED static kernel
+    # takes over; beyond its cap too, the runtime-ops kernel wins
+    orig, orig_seg = ppt.STATIC_MAX_OPS, ppt.STATIC_SEG_MAX_OPS
     try:
         ppt.STATIC_MAX_OPS = 0
         choice = ppt.choose(program.vmem_prog, cfg,
                             int(program.pmatrix_indices.max()) + 1)
+        assert choice is not None and choice[1] == "static-seg"
+        ppt.STATIC_SEG_MAX_OPS = 0
+        choice = ppt.choose(program.vmem_prog, cfg,
+                            int(program.pmatrix_indices.max()) + 1)
         assert choice is not None and choice[1] == "splitk"
     finally:
-        ppt.STATIC_MAX_OPS = orig
+        ppt.STATIC_MAX_OPS, ppt.STATIC_SEG_MAX_OPS = orig, orig_seg
 
 
 # --------------------------------------------------------------------------
@@ -333,3 +338,38 @@ def test_static_matches_xla(per_rate, precision):
     for scal_idx, row in prog.export_scaler_map.items():
         got = np.asarray(ppt.unblock_scaler_row(scal_rows[row]))
         np.testing.assert_array_equal(got, np.asarray(scal_x[scal_idx]))
+
+
+@pytest.mark.parametrize("per_rate", [False, True])
+def test_static_segmented_matches_static(per_rate, monkeypatch):
+    """The segmented static kernel (carry slabs across pallas_call
+    boundaries) must reproduce the single-program static sweep
+    BIT-EXACTLY: carried children re-enter as the same bf16 stacked
+    parts the pool held, so op math is identical."""
+    import dataclasses
+    rng = np.random.default_rng(9)
+    newick = random_newick(40, rng)
+    tree, cfg, program, tipchars, pmats = build(newick, 256, 9,
+                                                scale_heavy=True)
+    cfg = dataclasses.replace(cfg, per_rate_scalers=per_rate)
+    prog = program.vmem_prog
+    tb = 128
+    nt = cfg.sites_padded // tb
+    tip_b = jnp.transpose(
+        tipchars.astype(jnp.int32).reshape(cfg.tips, nt, tb), (1, 0, 2))
+
+    want_clv, want_scal = ppt.sweep_static(tip_b, pmats, prog, cfg, tb,
+                                           interpret=True)
+
+    # force segmentation (38 ops at 8 ops/segment -> 5 segments)
+    sprog = ppt.segment_static(prog, cfg.rate_cats * cfg.states,
+                               seg_ops=8)
+    assert len(sprog.segments) >= 4
+    assert any(s.carry_in for s in sprog.segments[1:])
+    got_clv, got_scal = ppt.sweep_static_segmented(
+        tip_b, pmats, prog, cfg, tb, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_clv),
+                                  np.asarray(want_clv))
+    np.testing.assert_array_equal(np.asarray(got_scal),
+                                  np.asarray(want_scal))
