@@ -72,8 +72,13 @@ def _pad_level_ops(level_ops: np.ndarray, cfg: PartitionConfig,
     topology's padded shape so buckets only ever GROW and successive
     rounds keep hitting the jit cache even as the tree's depth drifts."""
     L, W, _ = level_ops.shape
-    Lb = -(-max(L, 1) // l_bucket) * l_bucket
-    Wb = -(-max(W, 1) // w_bucket) * w_bucket
+    # ladder bucketing with headroom (see _ladder): every (Lb, Wb)
+    # change recompiles the score+smooth+verify programs together
+    # (~25-30 s through the tunnel), and L/W DRIFT in opposite
+    # directions over a search (random starts are deep and narrow; ML
+    # trees shallow and wide)
+    Lb = _ladder(max(L, 1))
+    Wb = _ladder(max(W, 1))
     if min_shape is not None:
         Lb, Wb = max(Lb, min_shape[0]), max(Wb, min_shape[1])
     noop = np.array([cfg.clv_scratch, cfg.clv_scratch, cfg.clv_scratch,
@@ -82,6 +87,21 @@ def _pad_level_ops(level_ops: np.ndarray, cfg: PartitionConfig,
     out = np.broadcast_to(noop, (Lb, Wb, 8)).copy()
     out[:L, :W] = level_ops
     return out
+
+
+def _ladder(n: int, margin: float = 1.25) -> int:
+    """Round a shape dimension UP a coarse ladder with headroom.
+
+    Fused-round program shapes must stabilize across rounds (every
+    change costs a full executable load through the tunnel); a 25%
+    margin plus coarsening steps makes the first round's shapes an
+    upper bound for almost every later round."""
+    import math
+    n = int(math.ceil(n * margin))
+    for step, cap in ((16, 64), (32, 128), (64, 256), (128, 1 << 30)):
+        if n <= cap:
+            return -(-n // step) * step
+    raise AssertionError
 
 
 @dataclasses.dataclass
@@ -377,10 +397,15 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
         assert len(balls) == C
 
         # the kernel path reads away slabs as scratch[:, :Vg]: make sure
-        # the scratch pool covers the widest padded score table
+        # the scratch pool covers the widest padded score table (ladder
+        # bucketing — ball_slots is a static arg of the fused round
+        # program, so its growth forces the same ~12 s reload)
         v_bound = max((sum(len(lv) for lv in levels) for levels in balls),
                       default=0)
-        ball_slots = max(ball_slots, -(-max(v_bound, 1) // 16) * 16 + 1)
+        struct = sum(4 << d for d in range(radius))
+        ball_slots = max(ball_slots,
+                         min(_ladder(max(v_bound, 1)),
+                             -(-struct // 16) * 16) + 1)
         dump = ball_slots - 1
         noop = np.asarray(
             [dump, 0, zero_row, 1, 0, 0, zero_row, 0, 0, zero_row, 0, 0],
@@ -426,9 +451,16 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                    and len(min_group_shapes[gi][0]) == radius else None)
             w_ds = [max((len(balls[c][d]) for c in ids), default=0)
                     for d in range(radius)]
-            # bucket 16: width growth across rounds forces a ~12 s
-            # recompile of the fused round program, so over-pad a little
-            w_ds = [-(-max(w, 1) // 16) * 16 for w in w_ds]
+            # LADDER bucketing with headroom, capped by the structural
+            # per-level bound (level d holds <= 4*2^d messages):
+            # every shape change of the fused round program costs a
+            # ~10-12 s executable load through the tunnel, so shapes
+            # must SATURATE after the first round, not ratchet by 16
+            # every round (round-4's 9.9 s "steady" rounds were ~90%
+            # program reloads over a 0.7 s device program)
+            bound = [4 << d for d in range(radius)]
+            w_ds = [min(_ladder(max(w, 1)), -(-b // 16) * 16)
+                    for w, b in zip(w_ds, bound)]
             if pin is not None:
                 w_ds = [max(w, int(m)) for w, m in zip(w_ds, pin[0])]
             lvls = []
@@ -440,7 +472,8 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                         arr[k, :len(lv)] = np.asarray(lv, np.int32)
                 lvls.append(arr)
             vg = max((int(valid_counts[c]) for c in ids), default=0)
-            vg = -(-max(vg, 1) // 16) * 16
+            vg = min(_ladder(max(vg, 1)),
+                     -(-sum(bound) // 16) * 16)
             if pin is not None:
                 vg = max(vg, int(pin[1]))
             sco = np.tile(noop, (sz, vg, 1))
