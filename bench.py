@@ -67,8 +67,12 @@ def _enable_cache():
 
 
 def measure_case(tips: int, sites: int, states: int = 4,
-                 reps: int = REPS) -> dict:
-    """Throughput + latency + on-chip kernel parity for one engine case."""
+                 reps: int = REPS, precision: str = "highest") -> dict:
+    """Throughput + latency + on-chip kernel parity for one engine case.
+
+    precision: pallas split-K precision mode — "highest" (full f32
+    term math, the primary numbers) or "high" (3-term split, measured
+    rel err ~1e-6; the documented fast mode)."""
     import dataclasses
 
     import jax
@@ -86,7 +90,8 @@ def measure_case(tips: int, sites: int, states: int = 4,
     cfg = PartitionConfig(
         tips=tips, clv_buffers=tree.inner_count, states=states, sites=sites,
         rate_matrices=1, prob_matrices=2 * tips - 3, rate_cats=RATE_CATS,
-        scale_buffers=tree.inner_count, dtype=jnp.float32, site_block=128)
+        scale_buffers=tree.inner_count, dtype=jnp.float32, site_block=128,
+        pallas_precision=precision)
     program = engine.compile_tree(tree, cfg)
     if states == 20:
         from libpll2_tpu.models.aa import aa_model
@@ -127,7 +132,7 @@ def measure_case(tips: int, sites: int, states: int = 4,
     parity = abs(float(logl) - float(logl_xla)) / abs(float(logl_xla))
     print(f"[{tips}x{sites} S={states}] parity: pallas={float(logl)} "
           f"xla={float(logl_xla)} rel={parity:.2e}", file=sys.stderr)
-    assert parity < 5e-6, \
+    assert parity < (5e-6 if precision == "highest" else 5e-5), \
         f"Pallas/XLA logL disagree on chip: rel error {parity}"
 
     # REPS data-dependent iterations inside ONE jitted lax.scan: a single
@@ -187,7 +192,7 @@ def measure_search_round() -> dict:
     from libpll2_tpu.tree.generate import random_newick, simulate_alignment
 
     tips, sites, radius = 256, 4096, 5
-    rounds = int(os.environ.get("BENCH_SEARCH_ROUNDS", 3))
+    rounds = int(os.environ.get("BENCH_SEARCH_ROUNDS", 20))
     rng = np.random.default_rng(20260820)
     rates = compute_gamma_cats(0.9, RATE_CATS)
     subst = [1.2, 2.7, 0.8, 1.1, 3.0, 1.0]
@@ -212,7 +217,7 @@ def measure_search_round() -> dict:
     t0 = time.time()
     final, logl, stats = search_fast.hill_climb(
         start, cfg, model, chars, max_rounds=rounds, radius=radius,
-        smooth_every=0)
+        smooth_every=2)
     total = time.time() - t0
     rs = stats["round_secs"]
     steady = float(np.median(rs[1:])) if len(rs) > 1 else rs[0]
@@ -265,11 +270,17 @@ def main() -> None:
     primary = measure_case(TIPS, SITES, 4)
     extra = {"dna_256": primary}
     if FULL:
-        for tips, sites, states, key in ((64, SITES, 4, "dna_64"),
-                                         (1024, 16384, 4, "dna_1024"),
-                                         (128, 16384, 20, "protein_128")):
+        for tips, sites, states, prec, key in (
+                (64, SITES, 4, "highest", "dna_64"),
+                (1024, 16384, 4, "highest", "dna_1024"),
+                (128, 16384, 20, "highest", "protein_128"),
+                # documented fast mode: 3-term bf16 split ("high"),
+                # measured logL rel err ~1e-6 on these cases
+                (TIPS, SITES, 4, "high", "dna_256_high"),
+                (128, 16384, 20, "high", "protein_128_high")):
             try:
-                extra[key] = measure_case(tips, sites, states)
+                extra[key] = measure_case(tips, sites, states,
+                                          precision=prec)
             except Exception as exc:  # noqa: BLE001
                 print(f"extra case {key} failed: {exc}", file=sys.stderr)
                 extra[key] = {"error": str(exc)[:200]}
@@ -279,15 +290,27 @@ def main() -> None:
             print(f"search bench failed: {exc}", file=sys.stderr)
             extra["search_round"] = {"error": str(exc)[:200]}
     if FULL:
-        # warm-start probe: a FRESH process compiling the primary case
-        # against the now-populated persistent cache
+        # warm-start probe: TWO fresh processes compiling the primary
+        # case against the populated persistent cache.  Startup is
+        # bimodal through the axon tunnel: the first fresh process pays
+        # the terminal-side executable load (~45 s for the 254-op
+        # static program even on a disk-cache hit); the second hits
+        # the terminal's program cache (~2.6 s).  Both are reported —
+        # steady_process_s is what a user restarting repeatedly gets.
         try:
             env = dict(os.environ, BENCH_WARM_PROBE="1")
-            out = subprocess.run([sys.executable, __file__],
-                                 capture_output=True, text=True,
-                                 timeout=900, env=env)
-            extra["warm_start"] = json.loads(out.stdout.strip()
-                                             .splitlines()[-1])
+            probes = []
+            for _ in range(2):
+                out = subprocess.run([sys.executable, __file__],
+                                     capture_output=True, text=True,
+                                     timeout=900, env=env)
+                probes.append(json.loads(out.stdout.strip()
+                                         .splitlines()[-1]))
+            extra["warm_start"] = {
+                "first_process_s": probes[0]["warm_compile_s"],
+                "steady_process_s": probes[1]["warm_compile_s"],
+                "warm_compile_s": probes[1]["warm_compile_s"],
+            }
         except Exception as exc:  # noqa: BLE001
             print(f"warm probe failed: {exc}", file=sys.stderr)
             extra["warm_start"] = {"error": str(exc)[:200]}
