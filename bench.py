@@ -157,7 +157,7 @@ def measure_case(tips: int, sites: int, states: int = 4,
     jax.block_until_ready(chain(bl, tipchars, pattern_weights,
                                 invariant))     # compile
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         jax.block_until_ready(chain(bl * 1.0000001, tipchars,
                                     pattern_weights, invariant))
@@ -192,7 +192,7 @@ def measure_search_round() -> dict:
     from libpll2_tpu.tree.generate import random_newick, simulate_alignment
 
     tips, sites, radius = 256, 4096, 5
-    rounds = int(os.environ.get("BENCH_SEARCH_ROUNDS", 20))
+    rounds = int(os.environ.get("BENCH_SEARCH_ROUNDS", 30))
     rng = np.random.default_rng(20260820)
     rates = compute_gamma_cats(0.9, RATE_CATS)
     subst = [1.2, 2.7, 0.8, 1.1, 3.0, 1.0]
