@@ -407,8 +407,17 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                          min(_ladder(max(v_bound, 1)),
                              -(-struct // 16) * 16) + 1)
         dump = ball_slots - 1
+        # level-0 rows are ALL seeds and deeper rows NEVER are (build_ball
+        # construction) — _score_group exploits this with a static
+        # per-level branch instead of a seed-select over two gathers, so
+        # the padding row must match its level's kind: seed noop reads
+        # base row 0; deep noop reads the dump scratch slot (zeros in,
+        # zeros out — never NaN)
         noop = np.asarray(
             [dump, 0, zero_row, 1, 0, 0, zero_row, 0, 0, zero_row, 0, 0],
+            np.int32)
+        noop_deep = np.asarray(
+            [dump, dump, dump, 0, 0, 0, zero_row, 0, 0, zero_row, 0, 0],
             np.int32)
         merge_edges = np.zeros((C, 2), np.int32)
         ci = 0
@@ -465,7 +474,7 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                 w_ds = [max(w, int(m)) for w, m in zip(w_ds, pin[0])]
             lvls = []
             for d, wd in enumerate(w_ds):
-                arr = np.tile(noop, (sz, wd, 1))
+                arr = np.tile(noop if d == 0 else noop_deep, (sz, wd, 1))
                 for k, c in enumerate(ids[:sz0]):
                     lv = balls[c][d]
                     if lv:
@@ -696,17 +705,21 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
 
         scratch = jnp.zeros((ball_slots, R, S, T), dtype)
         sscr = jnp.zeros((ball_slots, T), jnp.int32)
-        for lv_all in ball_levels:                         # static unroll
+        for d, lv_all in enumerate(ball_levels):           # static unroll
             lv = lv_all[c]                                 # [W_d, 12]
-            seed = lv[:, BOP_C1_SEED] == 1
-            scr_idx = jnp.where(seed, 0, lv[:, BOP_C1_ROW])
-            c1 = jnp.where(seed[:, None, None, None],
-                           base_clv[lv[:, BOP_C1_ROW]], scratch[scr_idx])
-            s1 = jnp.where(seed[:, None],
-                           base_scal[lv[:, BOP_C1_SCAL]],
-                           sscr[jnp.where(seed, 0, lv[:, BOP_C1_SCAL])])
-            p1 = jnp.where(seed[:, None, None, None], merged[None],
-                           pmatrix[lv[:, BOP_C1_PM]])
+            if d == 0:
+                # seed level: c1 is a base message propagated through the
+                # merged edge's P (all rows, by construction) — one
+                # gather, no select (gathers are 40% of the round's
+                # device time, tools/profile_scatter.py)
+                c1 = base_clv[lv[:, BOP_C1_ROW]]
+                s1 = base_scal[lv[:, BOP_C1_SCAL]]
+                p1 = jnp.broadcast_to(merged[None],
+                                      (lv.shape[0],) + merged.shape)
+            else:
+                c1 = scratch[lv[:, BOP_C1_ROW]]
+                s1 = sscr[lv[:, BOP_C1_SCAL]]
+                p1 = pmatrix[lv[:, BOP_C1_PM]]
             c2 = base_clv[lv[:, BOP_C2_ROW]]
             s2 = base_scal[lv[:, BOP_C2_SCAL]]
             p2 = pmatrix[lv[:, BOP_C2_PM]]
