@@ -173,6 +173,51 @@ def measure_case(tips: int, sites: int, states: int = 4,
     }
 
 
+def measure_search_scale(tips=1024, sites=4096, radius=5,
+                         rounds=4) -> dict:
+    """Production-SCALE search point: steady round time at 1024 taxa
+    (the regime the radius-limited scoring exists for; the reference's
+    2000-taxon test data role, test/Makefile DEPFILES).  Short run —
+    recovery at this scale needs ~30+ rounds and is covered by the
+    256-taxon case; this pins the per-round cost and move throughput."""
+    import jax.numpy as jnp
+
+    from libpll2_tpu import engine, search_fast
+    from libpll2_tpu import tree as T
+    from libpll2_tpu.config import PartitionConfig
+    from libpll2_tpu.models.gamma import compute_gamma_cats
+    from libpll2_tpu.tree.generate import random_newick, simulate_alignment
+
+    rng = np.random.default_rng(1)
+    rates = compute_gamma_cats(1.0, RATE_CATS)
+    subst = [1.0, 2.0, 1.0, 1.0, 2.0, 1.0]
+    freqs = [0.25] * 4
+    truth = T.parse_newick_string(
+        random_newick(tips, rng, min_bl=0.03, max_bl=0.3))
+    chars = simulate_alignment(truth, sites, rng, subst, freqs, rates)
+    start = T.parse_newick_string(
+        random_newick(tips, rng, min_bl=0.05, max_bl=0.3))
+    ren = dict(zip(sorted(n.label for n in start.nodes[:tips]),
+                   sorted(chars)))
+    for n in start.nodes[:tips]:
+        n.label = ren[n.label]
+    cfg = PartitionConfig(
+        tips=tips, clv_buffers=start.inner_count, states=4, sites=sites,
+        rate_matrices=1, prob_matrices=2 * tips - 3, rate_cats=RATE_CATS,
+        scale_buffers=start.inner_count, dtype=jnp.float32)
+    model = engine.make_model([subst], [freqs], rates, dtype=jnp.float32)
+    _f, _l, stats = search_fast.hill_climb(
+        start, cfg, model, chars, max_rounds=rounds, radius=radius,
+        smooth_every=0)
+    rs = stats["round_secs"]
+    steady = float(np.median(rs[1:])) if len(rs) > 1 else rs[0]
+    print(f"[search-{tips}] rounds={stats['rounds']} "
+          f"moves={stats['moves']} steady={steady:.2f}s", file=sys.stderr)
+    return {"tips": tips, "sites": sites, "radius": radius,
+            "first_round_s": rs[0], "steady_round_s": steady,
+            "moves": stats["moves"]}
+
+
 def measure_search_round() -> dict:
     """Steady-state production SPR round (search_fast, radius 5) at
     256 taxa x 4096 sites — the workload the reference exists to power.
@@ -289,6 +334,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"search bench failed: {exc}", file=sys.stderr)
             extra["search_round"] = {"error": str(exc)[:200]}
+        try:
+            extra["search_1024"] = measure_search_scale()
+        except Exception as exc:  # noqa: BLE001
+            print(f"scale search bench failed: {exc}", file=sys.stderr)
+            extra["search_1024"] = {"error": str(exc)[:200]}
     if FULL:
         # warm-start probe: TWO fresh processes compiling the primary
         # case against the populated persistent cache.  Startup is

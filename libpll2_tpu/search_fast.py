@@ -710,8 +710,10 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
             if d == 0:
                 # seed level: c1 is a base message propagated through the
                 # merged edge's P (all rows, by construction) — one
-                # gather, no select (gathers are 40% of the round's
-                # device time, tools/profile_scatter.py)
+                # gather, no select (gathers are ~40% of the round's
+                # device time, tools/profile_scatter.py; batching all
+                # levels' base takes into one was measured NEUTRAL, so
+                # the simple per-level form stays)
                 c1 = base_clv[lv[:, BOP_C1_ROW]]
                 s1 = base_scal[lv[:, BOP_C1_SCAL]]
                 p1 = jnp.broadcast_to(merged[None],
