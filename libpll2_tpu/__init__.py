@@ -11,7 +11,8 @@ partition API, with alignment sites sharded across TPU meshes.
 from . import constants
 from . import engine
 from . import fit
-from . import multipartition, search_fast
+from . import infer, multipartition, search_fast
+from .infer import InferenceResult, infer_ml_tree
 from .config import PartitionConfig
 from .constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE, AB_STAMATAKIS,
                         GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN, MAP_AA,
@@ -27,6 +28,7 @@ from .partition import Operation, Partition, levelize_operations
 __version__ = "0.1.0"
 
 __all__ = [
+    "infer", "infer_ml_tree", "InferenceResult",
     "Partition", "Operation", "PartitionConfig", "levelize_operations",
     "engine", "fit", "search_fast",
     "compute_gamma_cats", "update_eigen", "constants",
