@@ -185,8 +185,9 @@ def compile_spr(tree: UTree, cfg: PartitionConfig,
                 min_ball_slots: Optional[int] = None
                 ) -> SprProgram:
     """Compile one topology into runtime search arrays + candidate table."""
-    if cfg.per_rate_scalers:
-        raise ValueError("fast SPR search supports per-site scalers only")
+    if cfg.per_rate_scalers and cfg.asc_bias != 0:
+        raise ValueError("per-rate scalers cannot combine with asc bias "
+                         "(reference partition-creation rule)")
     full = engine.compile_tree_full(tree, cfg)
     cfg_ext = full.cfg_ext
     level_ops = _pad_level_ops(full.level_ops, cfg_ext,
@@ -550,7 +551,10 @@ def _sweep_rt(cfg: PartitionConfig, model, level_ops, pmat_slots,
     tip_clv = engine.expand_tipchars(tipchars, S, dtype)
     clv = clv.at[:cfg.tips].set(
         jnp.broadcast_to(tip_clv[:, None, :, :], (cfg.tips, R, S, T)))
-    scalers = jnp.zeros((cfg.scale_buffers + 2, T), jnp.int32)
+    if cfg.per_rate_scalers:
+        scalers = jnp.zeros((cfg.scale_buffers + 2, R, T), jnp.int32)
+    else:
+        scalers = jnp.zeros((cfg.scale_buffers + 2, T), jnp.int32)
     clv, scalers = partials_ops.update_partials(
         clv, scalers, pmatrix, level_ops, cfg)
     return clv, scalers, pmatrix
@@ -598,10 +602,20 @@ def _spr_all_scores(cfg: PartitionConfig, model, level_ops, edge_rows,
             tb = jnp.einsum("rij,rjt->rit", ph, rem_clv[rows[2]],
                             preferred_element_type=dtype, precision=hi)
             clvp = ta * tb                                   # [R, S, T]
-            scal = rem_scal[rows[1]] + rem_scal[rows[3]] + sub_scal
-            st = derivatives_ops.update_sumtable(
-                clvp, sub_clv, None, None, evecs, inv_evecs,
-                model.cat_freqs, cfg, asc_scalers=scal)
+            if cfg.per_rate_scalers:
+                # relative (capped) per-rate scalers fold into the
+                # sumtable; the site MIN is the absolute correction
+                # (core_derivatives.c:418-460 protocol)
+                sp = rem_scal[rows[1]] + rem_scal[rows[3]]   # [R, T]
+                st = derivatives_ops.update_sumtable(
+                    clvp, sub_clv, sp, sub_scal, evecs, inv_evecs,
+                    model.cat_freqs, cfg)
+                scal = jnp.min(sp + sub_scal, axis=0)        # [T]
+            else:
+                scal = rem_scal[rows[1]] + rem_scal[rows[3]] + sub_scal
+                st = derivatives_ops.update_sumtable(
+                    clvp, sub_clv, None, None, evecs, inv_evecs,
+                    model.cat_freqs, cfg, asc_scalers=scal)
 
             def newton_step(_, t):
                 d1, d2 = derivatives_ops.likelihood_derivatives(
@@ -704,7 +718,10 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
         t3_0 = branch_lengths[edge_pos[c]]
 
         scratch = jnp.zeros((ball_slots, R, S, T), dtype)
-        sscr = jnp.zeros((ball_slots, T), jnp.int32)
+        if cfg.per_rate_scalers:
+            sscr = jnp.zeros((ball_slots, R, T), jnp.int32)
+        else:
+            sscr = jnp.zeros((ball_slots, T), jnp.int32)
         for d, lv_all in enumerate(ball_levels):           # static unroll
             lv = lv_all[c]                                 # [W_d, 12]
             if d == 0:
@@ -730,9 +747,14 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
             right = jnp.einsum("wrij,wrjt->writ", p2, c2,
                                preferred_element_type=dtype, precision=hi)
             parent = left * right
-            mask = jnp.all(parent < thresh, axis=(1, 2))   # [W, T]
-            parent = jnp.where(mask[:, None, None, :], parent * factor,
-                               parent)
+            if cfg.per_rate_scalers:
+                mask = jnp.all(parent < thresh, axis=2)    # [W, R, T]
+                parent = jnp.where(mask[:, :, None, :], parent * factor,
+                                   parent)
+            else:
+                mask = jnp.all(parent < thresh, axis=(1, 2))   # [W, T]
+                parent = jnp.where(mask[:, None, None, :],
+                                   parent * factor, parent)
             snew = s1 + s2 + mask.astype(jnp.int32)
             scratch = scratch.at[lv[:, BOP_PARENT]].set(parent)
             sscr = sscr.at[lv[:, BOP_PARENT]].set(snew)
@@ -759,10 +781,17 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
             tb = jnp.einsum("rij,rjt->rit", ph, other,
                             preferred_element_type=dtype, precision=hi)
             clvp = ta * tb
-            scal = away_s + other_s + sub_scal
-            st = derivatives_ops.update_sumtable(
-                clvp, sub_clv, None, None, evecs, inv_evecs,
-                model.cat_freqs, cfg, asc_scalers=scal)
+            if cfg.per_rate_scalers:
+                sp = away_s + other_s                       # [R, T]
+                st = derivatives_ops.update_sumtable(
+                    clvp, sub_clv, sp, sub_scal, evecs, inv_evecs,
+                    model.cat_freqs, cfg)
+                scal = jnp.min(sp + sub_scal, axis=0)       # [T]
+            else:
+                scal = away_s + other_s + sub_scal
+                st = derivatives_ops.update_sumtable(
+                    clvp, sub_clv, None, None, evecs, inv_evecs,
+                    model.cat_freqs, cfg, asc_scalers=scal)
 
             def newton_step(_, t):
                 d1, d2 = derivatives_ops.likelihood_derivatives(
@@ -938,10 +967,16 @@ def _smooth_rt(cfg: PartitionConfig, model, level_ops, edge_rows,
 
         def per_edge(args):
             rows, t0 = args
-            st = derivatives_ops.update_sumtable(
-                clv[rows[0]], clv[rows[2]], None, None, evecs, inv_evecs,
-                model.cat_freqs, cfg,
-                asc_scalers=scalers[rows[1]] + scalers[rows[3]])
+            if cfg.per_rate_scalers:
+                st = derivatives_ops.update_sumtable(
+                    clv[rows[0]], clv[rows[2]], scalers[rows[1]],
+                    scalers[rows[3]], evecs, inv_evecs,
+                    model.cat_freqs, cfg)
+            else:
+                st = derivatives_ops.update_sumtable(
+                    clv[rows[0]], clv[rows[2]], None, None, evecs,
+                    inv_evecs, model.cat_freqs, cfg,
+                    asc_scalers=scalers[rows[1]] + scalers[rows[3]])
 
             def newton_step(_, t):
                 d1, d2 = derivatives_ops.likelihood_derivatives(
@@ -1079,6 +1114,7 @@ def spr_round(prog: SprProgram, model,
         use_kernel = (cfg.dtype == jnp.float32
                       and jax.default_backend() in ("tpu", "axon")
                       and cfg.asc_bias == 0
+                      and not cfg.per_rate_scalers
                       and bool(np.all(np.asarray(inv_d) < 0)))
 
         def run_round(kernel_on: bool):
@@ -1565,6 +1601,7 @@ def spr_round_multi(progs: List[SprProgram], models,
         use_kernel = (cfg.dtype == jnp.float32
                       and jax.default_backend() in ("tpu", "axon")
                       and cfg.asc_bias == 0
+                      and not cfg.per_rate_scalers
                       and bool(np.all(np.asarray(inv_d) < 0)))
         logl0_d, outs = _spr_round_device(
             cfg, models[k], lops, pslots, bl, tipchars, pw_d, inv_d,
