@@ -148,3 +148,72 @@ def test_real_multiprocess_bit_equality(tmp_path):
     np.testing.assert_allclose(float(res[0]["logl"]), plain, rtol=1e-12)
     np.testing.assert_allclose(res[0]["d1"], np.asarray(d1p), rtol=1e-9)
     np.testing.assert_allclose(res[0]["d2"], np.asarray(d2p), rtol=1e-9)
+
+
+def test_spr_round_site_sharded_matches_single_device():
+    """The fused SPR round program (base sweep + ball recursion + Newton
+    scoring) runs UNCHANGED on site-sharded inputs: every site-indexed
+    op is elementwise or a weighted per-site reduction, so GSPMD inserts
+    psums and the scores match the single-device run to reduction
+    order (SURVEY.md §2.6 applied to the search layer)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import libpll2_tpu as pll
+    from libpll2_tpu import engine, search_fast as sf
+    from libpll2_tpu import tree as T
+    from libpll2_tpu.config import PartitionConfig
+    from libpll2_tpu.parallel import sharding
+
+    from .test_parity_tree import random_newick
+    from .test_search import FREQS, SUBST, simulate
+
+    rng = np.random.default_rng(5)
+    rates = pll.compute_gamma_cats(0.8, 4)
+    tips, sites = 10, 128
+    truth = T.parse_newick_string(random_newick(tips, rng))
+    seqs = simulate(truth, sites, rng, rates)
+    chars = {lab: (1 << s.astype(np.uint64)) for lab, s in seqs.items()}
+    start = T.parse_newick_string(
+        random_newick(tips, np.random.default_rng(9)))
+    ren = dict(zip(sorted(n.label for n in start.nodes[:tips]),
+                   sorted(chars)))
+    for n in start.nodes[:tips]:
+        n.label = ren[n.label]
+    cfg = PartitionConfig(
+        tips=tips, clv_buffers=start.inner_count, states=4, sites=sites,
+        rate_matrices=1, prob_matrices=2 * tips - 3, rate_cats=4,
+        scale_buffers=start.inner_count, dtype=jnp.float64)
+    model = engine.make_model([SUBST], [FREQS], rates, dtype=jnp.float64)
+    prog = sf.compile_spr(start, cfg, radius=3)
+    cfgx = prog.cfg_ext
+    tipchars = sf._tipchars_for(prog, chars)
+    pw, inv = sf._aux_arrays(prog)
+    bl = jnp.asarray(prog.branch_lengths, cfgx.dtype)
+    lops = jnp.asarray(prog.level_ops)
+    pslots = jnp.asarray(prog.pmatrix_slots)
+    gdev = tuple((tuple(jnp.asarray(a) for a in g.ball_levels),
+                  jnp.asarray(g.score_ops), jnp.asarray(g.sub_rows),
+                  jnp.asarray(g.edge_pos), jnp.asarray(g.merge_edges))
+                 for g in prog.ball_groups)
+    rr = jnp.asarray(prog.edge_rows)[prog.root_edge]
+    rs = pslots[prog.root_edge]
+
+    def run(tip_a, pw_a, inv_a):
+        return sf._spr_round_device(
+            cfgx, model, lops, pslots, bl, tip_a, pw_a, inv_a, rr, rs,
+            gdev, ball_slots=prog.ball_slots, newton_iters=2,
+            use_kernel=False)
+
+    l0, outs0 = run(tipchars, pw, inv)
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    tip_s, pw_s, inv_s = sharding.shard_site_arrays(mesh, tipchars, pw,
+                                                    inv)
+    l1, outs1 = run(tip_s, pw_s, inv_s)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-12)
+    for (a, _), (b, _) in zip(outs0, outs1):
+        a, b = np.asarray(a), np.asarray(b)
+        m = np.isfinite(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=1e-10)
+        assert (np.isfinite(b) == m).all()
