@@ -305,8 +305,10 @@ def vmem_bytes(prog: TreeVmemProgram, cfg: PartitionConfig, tb: int,
         return vmem_bytes_static(prog, cfg, tb, num_pmatrices)
     if mode == "static-seg":
         # plain static footprint + double-buffered carry in-blocks
+        # (actual max live slots at any segment boundary, not a guess)
         n_terms = len(STATIC_TERMS[_parts_for(cfg)])
-        carry = 2 * 16 * n_terms * span * tb * 2
+        n_carry = segment_static(prog).max_carry
+        carry = 2 * n_carry * n_terms * span * tb * 2
         return vmem_bytes_static(prog, cfg, tb, num_pmatrices) + carry
     if mode == "splitk":
         parts = _parts_for(cfg)
@@ -1063,7 +1065,7 @@ class SegmentedProgram:
         return self._hash
 
 
-def segment_static(prog: TreeVmemProgram, span: int,
+def segment_static(prog: TreeVmemProgram,
                    seg_ops: Optional[int] = None) -> SegmentedProgram:
     """Cut a TreeVmemProgram's op list into bounded-op segments with
     carry lists (see block comment)."""
@@ -1236,9 +1238,11 @@ def _tree_kernel_static_seg(pmat_ref, ptq_ref, tip_ref,
 
 def sweep_static_segmented(tip_blocked, pmatrix, prog: TreeVmemProgram,
                            cfg: PartitionConfig, tb: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           seg_ops: Optional[int] = None):
     """Segmented topology-specialized sweep: same contract as
-    sweep_static(), any op count (bounded by STATIC_SEG_MAX_OPS)."""
+    sweep_static(), any op count (bounded by STATIC_SEG_MAX_OPS).
+    seg_ops overrides the SEG_OPS segment length (tests)."""
     nt, tips, tb_in = tip_blocked.shape
     assert tb_in == tb and nt * tb == cfg.sites_padded
     R, S = cfg.rate_cats, cfg.states
@@ -1248,7 +1252,7 @@ def sweep_static_segmented(tip_blocked, pmatrix, prog: TreeVmemProgram,
     sr = R if cfg.per_rate_scalers else 1
     P = pmatrix.shape[0]
     kq = -(-(parts * S) // 16) * 16
-    sprog = segment_static(prog, span)
+    sprog = segment_static(prog, seg_ops=seg_ops)
     n_exp = sprog.n_exp
 
     pterms, ptq = _split_pmatrix_terms_static(pmatrix, parts)
@@ -1267,11 +1271,14 @@ def sweep_static_segmented(tip_blocked, pmatrix, prog: TreeVmemProgram,
             cin = jnp.zeros((1, nt, n_terms * span, tb), jnp.bfloat16)
             cscal_in = jnp.zeros((1, nt, sr, tb), jnp.int32)
 
+        n_seg_exp = max(len(seg.exports), 1)
+        local_exports = tuple((local_idx, slot, i) for i, (local_idx,
+                              slot, _e) in enumerate(seg.exports))
         kernel = functools.partial(
             _tree_kernel_static_seg,
             rows=seg.rows, states=S, rates=R, parts=parts,
             per_rate=cfg.per_rate_scalers, thresh=cfg.scale_threshold,
-            factor=cfg.scale_factor, exports=seg.exports,
+            factor=cfg.scale_factor, exports=local_exports,
             carry_out_slots=seg.carry_out
             if seg.carry_out else (0,))
 
@@ -1307,8 +1314,8 @@ def sweep_static_segmented(tip_blocked, pmatrix, prog: TreeVmemProgram,
                 pltpu.VMEM((sprog.pool_size, n_terms * span, tb),
                            jnp.bfloat16),
                 pltpu.VMEM((sprog.pool_size, sr, tb), jnp.int32),
-                pltpu.VMEM((max(n_exp, 1), span, tb), jnp.float32),
-                pltpu.SemaphoreType.DMA((max(n_exp, 1), 2)),
+                pltpu.VMEM((n_seg_exp, span, tb), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_seg_exp, 2)),
                 pltpu.SemaphoreType.DMA((n_out, 2)),
             ],
         )
@@ -1317,9 +1324,9 @@ def sweep_static_segmented(tip_blocked, pmatrix, prog: TreeVmemProgram,
             kernel,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((max(n_exp, 1), nt, span, tb),
+                jax.ShapeDtypeStruct((n_seg_exp, nt, span, tb),
                                      jnp.float32),
-                jax.ShapeDtypeStruct((max(n_exp, 1), nt, sr, tb),
+                jax.ShapeDtypeStruct((n_seg_exp, nt, sr, tb),
                                      jnp.int32),
                 jax.ShapeDtypeStruct((n_out, nt, n_terms * span, tb),
                                      jnp.bfloat16),
@@ -1339,8 +1346,8 @@ def sweep_static_segmented(tip_blocked, pmatrix, prog: TreeVmemProgram,
 
         for i, slot in enumerate(seg.carry_out):
             live[slot] = (cout, cscal_out, i)
-        for local_idx, slot, e in seg.exports:
-            exp_parts[e] = (clv_e, scal_e, e)
+        for i, (local_idx, slot, e) in enumerate(seg.exports):
+            exp_parts[e] = (clv_e, scal_e, i)
 
     clv_rows = jnp.stack([exp_parts[e][0][exp_parts[e][2]]
                           for e in range(n_exp)])

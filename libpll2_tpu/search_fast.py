@@ -61,7 +61,6 @@ from .tree.utree import UTree, export_newick, traverse_subtree
 
 
 def _pad_level_ops(level_ops: np.ndarray, cfg: PartitionConfig,
-                   l_bucket: int = 8, w_bucket: int = 16,
                    min_shape: Optional[Tuple[int, int]] = None
                    ) -> np.ndarray:
     """Pad [L, W, 8] to bucketed (L, W) so different topologies of the same
@@ -1144,17 +1143,15 @@ def spr_round(prog: SprProgram, model,
         logl0, canary, flat_scores, flat_t3, flat_cand, flat_edge = \
             run_round(use_kernel)
         if canary and use_kernel:
-            # retry through the XLA scorer before aborting: a legitimately
-            # pathological round where every candidate underflows to -inf
-            # must report "no improving moves", not kill the search
+            # all--inf on the kernel path is the signature of the known
+            # XLA:TPU batched-gather miscompile — rescore through the
+            # XLA path.  All--inf THERE is a legitimate outcome (every
+            # candidate underflowed): selection below simply finds no
+            # improving move; the search must not be killed.
+            if timings is not None:
+                timings["kernel_canary_retries"] = 1
             logl0, canary, flat_scores, flat_t3, flat_cand, flat_edge = \
                 run_round(False)
-        if canary:
-            raise RuntimeError(
-                "SPR ball scorer returned -inf for every valid slot on "
-                "both the kernel and XLA paths — suspected XLA:TPU "
-                "batched-gather miscompile at this (cand_batch, sites) "
-                "shape; change cand_batch in _score_group")
         scores = np.concatenate(flat_scores)
         t3s = np.concatenate(flat_t3)
         cand_of = np.concatenate(flat_cand)
@@ -1603,20 +1600,32 @@ def spr_round_multi(progs: List[SprProgram], models,
                       and cfg.asc_bias == 0
                       and not cfg.per_rate_scalers
                       and bool(np.all(np.asarray(inv_d) < 0)))
-        logl0_d, outs = _spr_round_device(
-            cfg, models[k], lops, pslots, bl, tipchars, pw_d, inv_d,
-            erow[prog.root_edge], pslots[prog.root_edge], group_args,
-            ball_slots=prog.ball_slots, newton_iters=newton_iters,
-            use_kernel=use_kernel)
-        flat_s, flat_t, flat_c, flat_e = [], [], [], []
-        for g, (s, t3) in zip(prog.ball_groups, outs):
-            s, t3 = np.asarray(s), np.asarray(t3)
-            vmask = g.score_ops[..., BOP_VALID] == 1
-            rows, cols = np.nonzero(vmask)
-            flat_s.append(s[rows, cols])
-            flat_t.append(t3[rows, cols])
-            flat_c.append(g.cand_ids[rows])
-            flat_e.append(g.score_ops[rows, cols, BOP_EDGE])
+        def run_part(kernel_on):
+            logl0_d, outs = _spr_round_device(
+                cfg, models[k], lops, pslots, bl, tipchars, pw_d, inv_d,
+                erow[prog.root_edge], pslots[prog.root_edge], group_args,
+                ball_slots=prog.ball_slots, newton_iters=newton_iters,
+                use_kernel=kernel_on)
+            canary = False
+            flat_s, flat_t, flat_c, flat_e = [], [], [], []
+            for g, (s, t3) in zip(prog.ball_groups, outs):
+                s, t3 = np.asarray(s), np.asarray(t3)
+                vmask = g.score_ops[..., BOP_VALID] == 1
+                if int(vmask.sum()) > 16 \
+                        and np.all(np.isneginf(s[vmask])):
+                    canary = True
+                rows, cols = np.nonzero(vmask)
+                flat_s.append(s[rows, cols])
+                flat_t.append(t3[rows, cols])
+                flat_c.append(g.cand_ids[rows])
+                flat_e.append(g.score_ops[rows, cols, BOP_EDGE])
+            return logl0_d, canary, flat_s, flat_t, flat_c, flat_e
+
+        logl0_d, canary, flat_s, flat_t, flat_c, flat_e = \
+            run_part(use_kernel)
+        if canary and use_kernel:
+            # same miscompile canary + XLA rescue as spr_round
+            logl0_d, _, flat_s, flat_t, flat_c, flat_e = run_part(False)
         scores_k = np.concatenate(flat_s)
         scores_k = np.where(np.isnan(scores_k), -np.inf, scores_k)
         logl0 += float(logl0_d)

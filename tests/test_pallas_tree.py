@@ -341,7 +341,7 @@ def test_static_matches_xla(per_rate, precision):
 
 
 @pytest.mark.parametrize("per_rate", [False, True])
-def test_static_segmented_matches_static(per_rate, monkeypatch):
+def test_static_segmented_matches_static(per_rate):
     """The segmented static kernel (carry slabs across pallas_call
     boundaries) must reproduce the single-program static sweep
     BIT-EXACTLY: carried children re-enter as the same bf16 stacked
@@ -361,13 +361,15 @@ def test_static_segmented_matches_static(per_rate, monkeypatch):
     want_clv, want_scal = ppt.sweep_static(tip_b, pmats, prog, cfg, tb,
                                            interpret=True)
 
-    # force segmentation (38 ops at 8 ops/segment -> 5 segments)
-    sprog = ppt.segment_static(prog, cfg.rate_cats * cfg.states,
-                               seg_ops=8)
+    # force segmentation (38 ops at 8 ops/segment -> 5 segments) and
+    # run the SAME seg_ops through the sweep so the carry DMA path is
+    # genuinely exercised (the default SEG_OPS keeps 38 ops in ONE
+    # segment, which compares nothing)
+    sprog = ppt.segment_static(prog, seg_ops=8)
     assert len(sprog.segments) >= 4
     assert any(s.carry_in for s in sprog.segments[1:])
     got_clv, got_scal = ppt.sweep_static_segmented(
-        tip_b, pmats, prog, cfg, tb, interpret=True)
+        tip_b, pmats, prog, cfg, tb, interpret=True, seg_ops=8)
 
     np.testing.assert_array_equal(np.asarray(got_clv),
                                   np.asarray(want_clv))
