@@ -1061,6 +1061,87 @@ def _contains_iter(start, target) -> bool:
     return False
 
 
+def _flatten_groups(ball_groups, outs):
+    """Compact a round's per-group (score, t3) tables into flat arrays.
+
+    Returns (canary, scores, t3s, cand_of, edge_of); canary is the
+    all--inf signature of the known XLA:TPU batched-gather miscompile
+    (see _score_group) — essentially never a legitimate outcome when
+    more than a handful of slots are valid."""
+    canary = False
+    flat_s, flat_t, flat_c, flat_e = [], [], [], []
+    for g, (s, t3) in zip(ball_groups, outs):
+        s, t3 = np.asarray(s), np.asarray(t3)
+        vmask = g.score_ops[..., BOP_VALID] == 1
+        if int(vmask.sum()) > 16 and np.all(np.isneginf(s[vmask])):
+            canary = True
+        rows, cols = np.nonzero(vmask)
+        flat_s.append(s[rows, cols])
+        flat_t.append(t3[rows, cols])
+        flat_c.append(g.cand_ids[rows])
+        flat_e.append(g.score_ops[rows, cols, BOP_EDGE])
+    scores = np.concatenate(flat_s)
+    # NaNs (f32 pathologies) sort FIRST under descending argsort and
+    # would end selection immediately — mask them out
+    scores = np.where(np.isnan(scores), -np.inf, scores)
+    return (canary, scores, np.concatenate(flat_t),
+            np.concatenate(flat_c), np.concatenate(flat_e))
+
+
+def _select_improving(scores, cand_of, edge_of, logl0, eps, limit,
+                      region_sets, edge_endpoints,
+                      block_regraft_edge: bool):
+    """Greedy improving-move selection over flat score arrays.
+
+    Two region granularities feed this (see spr_round): the surgery-
+    anchor sets (cand_hard, aggressive default) and the full staleness
+    sets (cand_affected, the verified-ladder fallback)."""
+    order = np.argsort(scores, kind="stable")[::-1]
+    chosen: List[Tuple[int, int]] = []
+    chosen_idx: List[int] = []
+    used: set = set()
+    for f in order:
+        f = int(f)
+        if scores[f] <= logl0 + eps or not np.isfinite(scores[f]):
+            break
+        c, e = int(cand_of[f]), int(edge_of[f])
+        region = set(region_sets[c])
+        if block_regraft_edge:
+            region |= set(edge_endpoints[e])
+        if used & region:
+            continue
+        chosen.append((c, e))
+        chosen_idx.append(f)
+        used |= region
+        if len(chosen) >= limit:
+            break
+    return chosen, chosen_idx
+
+
+def _apply_to_tree(prog: SprProgram, selection, sel_idx, t3s):
+    """Apply moves sequentially on a fresh copy of prog's tree; moves
+    made inapplicable by earlier surgery (regraft target swallowed by a
+    pruned subtree, or now-degenerate) are skipped.  Returns
+    (new_tree, applied flat indices)."""
+    work = parse_newick_string(
+        export_newick(prog.tree.vroot, precision=None))
+    halves = {h.node_index: h for h in _half_nodes(work)}
+    applied: List[int] = []
+    for (c, e), f in zip(selection, sel_idx):
+        p = halves[int(prog.cand_prune_node[c])]
+        r = halves[int(prog.edge_node[e])]
+        if _contains_iter(p.back, r):
+            continue
+        try:
+            moves.spr(p, r)
+        except ValueError:
+            continue
+        p.length = p.back.length = float(t3s[f])
+        applied.append(f)
+    return parse_newick_string(
+        export_newick(work.vroot, precision=None)), applied
+
+
 def spr_round(prog: SprProgram, model,
               tipchars_by_label: Dict[str, np.ndarray],
               *, newton_iters: int = 3, max_moves: Optional[int] = None,
@@ -1122,25 +1203,10 @@ def spr_round(prog: SprProgram, model,
                 erow[prog.root_edge], pslots[prog.root_edge], group_args,
                 ball_slots=prog.ball_slots, newton_iters=newton_iters,
                 use_kernel=kernel_on)
-            canary = False
-            flat_s, flat_t, flat_c, flat_e = [], [], [], []
-            for g, (s, t3) in zip(prog.ball_groups, outs):
-                s, t3 = np.asarray(s), np.asarray(t3)
-                vmask = g.score_ops[..., BOP_VALID] == 1
-                # canary for the XLA:TPU batched-gather miscompile (see
-                # _score_group): a corrupted recursion scores EVERY valid
-                # slot -inf — essentially never a legitimate outcome at
-                # this scale
-                if int(vmask.sum()) > 16 and np.all(np.isneginf(s[vmask])):
-                    canary = True
-                rows, cols = np.nonzero(vmask)
-                flat_s.append(s[rows, cols])
-                flat_t.append(t3[rows, cols])
-                flat_c.append(g.cand_ids[rows])
-                flat_e.append(g.score_ops[rows, cols, BOP_EDGE])
-            return float(logl0_d), canary, flat_s, flat_t, flat_c, flat_e
+            return (float(logl0_d),) + _flatten_groups(prog.ball_groups,
+                                                       outs)
 
-        logl0, canary, flat_scores, flat_t3, flat_cand, flat_edge = \
+        logl0, canary, scores, t3s, cand_of, edge_of = \
             run_round(use_kernel)
         if canary and use_kernel:
             # all--inf on the kernel path is the signature of the known
@@ -1150,12 +1216,8 @@ def spr_round(prog: SprProgram, model,
             # improving move; the search must not be killed.
             if timings is not None:
                 timings["kernel_canary_retries"] = 1
-            logl0, canary, flat_scores, flat_t3, flat_cand, flat_edge = \
+            logl0, _canary, scores, t3s, cand_of, edge_of = \
                 run_round(False)
-        scores = np.concatenate(flat_scores)
-        t3s = np.concatenate(flat_t3)
-        cand_of = np.concatenate(flat_cand)
-        edge_of = np.concatenate(flat_edge)
         C = len(prog.cand_affected)
         _t = _mark("score", _t)
     else:
@@ -1174,9 +1236,8 @@ def spr_round(prog: SprProgram, model,
         t3s = t3s2.reshape(-1)
         cand_of = np.repeat(np.arange(C, dtype=np.int32), E)
         edge_of = np.tile(np.arange(E, dtype=np.int32), C)
-    # NaNs (f32 pathologies) sort FIRST under descending argsort and
-    # would end selection immediately — mask them out
-    scores = np.where(np.isnan(scores), -np.inf, scores)
+        # NaNs (f32 pathologies) sort FIRST under descending argsort
+        scores = np.where(np.isnan(scores), -np.inf, scores)
 
     # greedy improving move selection (flat arrays).  Two region
     # granularities:
@@ -1191,29 +1252,12 @@ def spr_round(prog: SprProgram, model,
     #   * cand_affected — the full staleness region (pruned subtree +
     #     attachment); scores of non-conflicting moves stay exact.  Used
     #     as the fallback when the aggressive batch verifies worse.
-    order = np.argsort(scores, kind="stable")[::-1]
     limit = max_moves if max_moves is not None else C
 
     def select(region_sets, block_regraft_edge: bool):
-        chosen: List[Tuple[int, int]] = []
-        chosen_idx: List[int] = []
-        used: set = set()
-        for f in order:
-            f = int(f)
-            if scores[f] <= logl0 + eps or not np.isfinite(scores[f]):
-                break
-            c, e = int(cand_of[f]), int(edge_of[f])
-            region = set(region_sets[c])
-            if block_regraft_edge:
-                region |= set(prog.edge_endpoints[e])
-            if used & region:
-                continue
-            chosen.append((c, e))
-            chosen_idx.append(f)
-            used |= region
-            if len(chosen) >= limit:
-                break
-        return chosen, chosen_idx
+        return _select_improving(scores, cand_of, edge_of, logl0, eps,
+                                 limit, region_sets,
+                                 prog.edge_endpoints, block_regraft_edge)
 
     chosen, chosen_idx = select(prog.cand_hard, block_regraft_edge=False)
     if timings is not None:
@@ -1226,28 +1270,7 @@ def spr_round(prog: SprProgram, model,
         return prog, logl0, 0
 
     def apply_moves(selection, sel_idx):
-        """Apply moves sequentially on a fresh copy; moves made
-        inapplicable by earlier surgery (regraft target swallowed by a
-        pruned subtree, or now-degenerate) are skipped.  Returns
-        (new_tree, applied flat indices)."""
-        newick = export_newick(prog.tree.vroot, precision=None)
-        work = parse_newick_string(newick)
-        halves = {h.node_index: h for h in _half_nodes(work)}
-        applied: List[int] = []
-        for (c, e), f in zip(selection, sel_idx):
-            p = halves[int(prog.cand_prune_node[c])]
-            r = halves[int(prog.edge_node[e])]
-            if _contains_iter(p.back, r):
-                continue
-            try:
-                moves.spr(p, r)
-            except ValueError:
-                continue
-            t3 = float(t3s[f])
-            p.length = p.back.length = t3
-            applied.append(f)
-        return parse_newick_string(
-            export_newick(work.vroot, precision=None)), applied
+        return _apply_to_tree(prog, selection, sel_idx, t3s)
 
     bucket = prog.level_ops.shape[:2]
     if prog.radius is not None:
@@ -1606,32 +1629,17 @@ def spr_round_multi(progs: List[SprProgram], models,
                 erow[prog.root_edge], pslots[prog.root_edge], group_args,
                 ball_slots=prog.ball_slots, newton_iters=newton_iters,
                 use_kernel=kernel_on)
-            canary = False
-            flat_s, flat_t, flat_c, flat_e = [], [], [], []
-            for g, (s, t3) in zip(prog.ball_groups, outs):
-                s, t3 = np.asarray(s), np.asarray(t3)
-                vmask = g.score_ops[..., BOP_VALID] == 1
-                if int(vmask.sum()) > 16 \
-                        and np.all(np.isneginf(s[vmask])):
-                    canary = True
-                rows, cols = np.nonzero(vmask)
-                flat_s.append(s[rows, cols])
-                flat_t.append(t3[rows, cols])
-                flat_c.append(g.cand_ids[rows])
-                flat_e.append(g.score_ops[rows, cols, BOP_EDGE])
-            return logl0_d, canary, flat_s, flat_t, flat_c, flat_e
+            return (float(logl0_d),) + _flatten_groups(prog.ball_groups,
+                                                       outs)
 
-        logl0_d, canary, flat_s, flat_t, flat_c, flat_e = \
+        logl0_k, canary, scores_k, t3s_k, cand_of, edge_of = \
             run_part(use_kernel)
         if canary and use_kernel:
             # same miscompile canary + XLA rescue as spr_round
-            logl0_d, _, flat_s, flat_t, flat_c, flat_e = run_part(False)
-        scores_k = np.concatenate(flat_s)
-        scores_k = np.where(np.isnan(scores_k), -np.inf, scores_k)
-        logl0 += float(logl0_d)
-        t3_list.append(np.concatenate(flat_t))
-        cand_of = np.concatenate(flat_c)
-        edge_of = np.concatenate(flat_e)
+            logl0_k, _, scores_k, t3s_k, cand_of, edge_of = \
+                run_part(False)
+        logl0 += logl0_k
+        t3_list.append(t3s_k)
         if sum_scores is None:
             sum_scores = scores_k
             cand_ref, edge_ref = cand_of, edge_of
@@ -1644,27 +1652,13 @@ def spr_round_multi(progs: List[SprProgram], models,
     prog0 = progs[0]
     _t = _mark("score", _t)
 
-    order = np.argsort(scores, kind="stable")[::-1]
     limit = max_moves if max_moves is not None else len(prog0.cand_hard)
 
     def select(region_sets, block_regraft_edge):
-        chosen, chosen_idx, used = [], [], set()
-        for f in order:
-            f = int(f)
-            if scores[f] <= logl0 + eps or not np.isfinite(scores[f]):
-                break
-            c, e = int(cand_of[f]), int(edge_of[f])
-            region = set(region_sets[c])
-            if block_regraft_edge:
-                region |= set(prog0.edge_endpoints[e])
-            if used & region:
-                continue
-            chosen.append((c, e))
-            chosen_idx.append(f)
-            used |= region
-            if len(chosen) >= limit:
-                break
-        return chosen, chosen_idx
+        return _select_improving(scores, cand_of, edge_of, logl0, eps,
+                                 limit, region_sets,
+                                 prog0.edge_endpoints,
+                                 block_regraft_edge)
 
     chosen, chosen_idx = select(prog0.cand_hard, False)
     _t = _mark("select", _t)
@@ -1676,28 +1670,13 @@ def spr_round_multi(progs: List[SprProgram], models,
         per-partition t3); returns (new_progs, applied indices)."""
         new_trees, applied_ref = [], None
         for k, prog in enumerate(progs):
-            t3s = t3_list[k]
-            newick = export_newick(prog.tree.vroot, precision=None)
-            work = parse_newick_string(newick)
-            halves = {h.node_index: h for h in _half_nodes(work)}
-            applied = []
-            for (c, e), f in zip(selection, sel_idx):
-                p = halves[int(prog.cand_prune_node[c])]
-                r = halves[int(prog.edge_node[e])]
-                if _contains_iter(p.back, r):
-                    continue
-                try:
-                    moves.spr(p, r)
-                except ValueError:
-                    continue
-                p.length = p.back.length = float(t3s[f])
-                applied.append(f)
+            tree_k, applied = _apply_to_tree(prog, selection, sel_idx,
+                                             t3_list[k])
             if applied_ref is None:
                 applied_ref = applied
             else:
                 assert applied == applied_ref   # topology-driven: same
-            new_trees.append(parse_newick_string(
-                export_newick(work.vroot, precision=None)))
+            new_trees.append(tree_k)
         pins = [{"min_level_shape": p.level_ops.shape[:2],
                  "min_group_shapes": tuple(g.shape_key
                                            for g in p.ball_groups),
