@@ -268,13 +268,15 @@ def measure_search_round() -> dict:
     steady = float(np.median(rs[1:])) if len(rs) > 1 else rs[0]
 
     # per-phase breakdown of the steady rounds (numeric keys only; the
-    # timing dicts also carry shape/cache diagnostics)
+    # timing dicts also carry shape/cache diagnostics).  MEDIAN per
+    # phase: a mid-search shape-growth recompile (~12 s, at most once
+    # or twice per climb) would dominate a mean
     steady_tms = stats["phase_timings"][1:] or stats["phase_timings"]
     phases = {}
-    for tm in steady_tms:
-        for k, v in tm.items():
-            if isinstance(v, float):
-                phases[k] = phases.get(k, 0.0) + v / len(steady_tms)
+    for k in {k for tm in steady_tms for k, v in tm.items()
+              if isinstance(v, float)}:
+        vals = [tm[k] for tm in steady_tms if isinstance(tm.get(k), float)]
+        phases[k] = float(np.median(vals))
     cache_sizes = stats["phase_timings"][-1].get("cache")
 
     # search quality vs the simulation truth

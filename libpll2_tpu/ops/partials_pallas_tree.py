@@ -356,7 +356,8 @@ def choose(prog: Optional[TreeVmemProgram], cfg: PartitionConfig,
     itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
     parts = _parts_for(cfg)
     # topology-specialized kernel first: fastest at every measured state
-    # count (v5e: DNA 8.4e9, S=20 protein 1.2e9 upd/s — contraction depths
+    # count (v5e round 5: DNA ~8.1e9, S=20 protein ~0.9e9 upd/s at full
+    # f32 quality — contraction depths
     # beyond 128 chunk fine on the MXU), and the only kernel family with
     # per-rate-scaler support.  Bounded op count keeps the unrolled Mosaic
     # program to a sane compile time.  (A c-major "static2" variant was

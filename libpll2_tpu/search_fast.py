@@ -687,8 +687,9 @@ def _score_group(cfg: PartitionConfig, model, base_clv, base_scal,
 
     cand_batch candidates run vmapped per map step: serial per-candidate
     dispatch leaves the chip >99% idle (tiny [W, R, S, T] programs);
-    batching widens every einsum / Newton reduction by cand_batch and cuts
-    a 256-taxon round from ~25 s to ~1 s on v5e.  NOTE: certain
+    batching widens every einsum / Newton reduction by cand_batch; a
+    256-taxon round's device program runs ~0.7 s on v5e (round-5
+    measurement; serial per-candidate dispatch was ~25 s).  NOTE: certain
     (cand_batch, sites) shapes trip an XLA:TPU batched-gather miscompile
     that zeroes the recursion scratch (observed at cand_batch 48/56/64
     with 4096 sites; 16/32/40/127 are fine) — spr_round carries an
