@@ -146,6 +146,11 @@ def create_operations(trav_buffer: Sequence[UNode]
     ops: List[Operation] = []
     branches: List[float] = []
     pmatrix_indices: List[int] = []
+    if not trav_buffer:
+        # a fully-pruned partial traversal (every CLV already valid);
+        # the reference returns ops_count = matrix_count = 0 here
+        # (pll_utree_create_operations on an empty buffer)
+        return ops, branches, pmatrix_indices
     last_back = trav_buffer[-1].back
 
     for node in trav_buffer:

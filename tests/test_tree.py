@@ -119,3 +119,12 @@ def test_export_newick_serialize_callback():
 
     out = T.export_newick(t.vroot, cb_serialize=cb)
     assert out == "((A<0.1>,B<0.2>)ab<0.3>,C<0.4>,D<0.5>)r;"
+
+
+def test_create_operations_empty_traversal():
+    """A fully-pruned partial traversal compiles to zero operations
+    (pll_utree_create_operations on an empty buffer), not an error —
+    the partial-traversal workflow hits this when every CLV toward the
+    chosen root is already valid."""
+    ops, branches, pmat = T.create_operations([])
+    assert ops == [] and branches == [] and pmat == []
